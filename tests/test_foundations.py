@@ -1,0 +1,141 @@
+"""Foundations: basis tables, mesh topology, geometry, FA assembly."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from remhos_tpu import basis as B
+from remhos_tpu import assembly as asm
+from remhos_tpu import geometry as geo
+from remhos_tpu.mesh import load_mesh, make_cartesian_mesh
+from remhos_tpu.discretization import build_discretization
+
+
+def test_bernstein_partition_of_unity():
+    x = np.linspace(0, 1, 13)
+    for p in (1, 2, 3, 4):
+        v = B.bernstein_vals(p, x)
+        assert np.allclose(v.sum(1), 1.0, atol=1e-14)
+        g = B.bernstein_grads(p, x)
+        assert np.allclose(g.sum(1), 0.0, atol=1e-12)
+        # endpoint interpolation
+        assert np.allclose(B.bernstein_vals(p, np.array([0.0]))[0],
+                           np.eye(p + 1)[0])
+        assert np.allclose(B.bernstein_vals(p, np.array([1.0]))[0],
+                           np.eye(p + 1)[p])
+
+
+def test_gll_points():
+    assert np.allclose(B.gauss_lobatto(2), [0, 1])
+    assert np.allclose(B.gauss_lobatto(3), [0, 0.5, 1])
+    # GLL4 interior points at (1 ± 1/sqrt(5))/2
+    g4 = B.gauss_lobatto(4)
+    assert np.allclose(g4, [0, (1 - 1/np.sqrt(5))/2, (1 + 1/np.sqrt(5))/2, 1])
+
+
+def test_quadrature_exactness():
+    for n in (2, 4, 6):
+        x, w = B.gauss_legendre(n)
+        for k in range(2 * n):
+            assert np.isclose((w * x ** k).sum(), 1.0 / (k + 1), atol=1e-14)
+
+
+def test_mesh_neighbors_periodic():
+    m = make_cartesian_mesh(2, (3, 3), (0, 0), (1, 1), (True, True))
+    # element 0 (corner), faces: 0=bottom(y-),1=right(x+),2=top(y+),3=left(x-)
+    assert m.nbr_elem[0].tolist() == [6, 1, 3, 2]
+    m2 = make_cartesian_mesh(2, (3, 3), (0, 0), (1, 1), (False, False))
+    assert m2.nbr_elem[0].tolist() == [-1, 1, 3, -1]
+    assert m2.nbr_elem[4].tolist() == [1, 5, 7, 3]
+
+
+def test_mesh_refine():
+    m = load_mesh("inline-quad", rs_levels=2)
+    assert m.shape == (16, 16)
+    assert m.num_elements == 256
+    assert m.x.shape == (256, 9, 2)  # mesh_order 2 -> 9 nodes/elem
+
+
+def test_geometry_affine():
+    m = load_mesh("inline-quad", rs_levels=1)  # 8x8, h = 1/8
+    disc = build_discretization(m, p=2)
+    g = geo.volume_geometry(jnp.asarray(m.x), disc.Bm, disc.Gm)
+    h = 1.0 / 8.0
+    assert np.allclose(g["detJ"], h * h, atol=1e-13)
+    assert np.allclose(np.asarray(g["adjJ"][..., 0, 1]), 0.0, atol=1e-13)
+    # total volume
+    vol = (disc.w_q[None, :] * np.asarray(g["detJ"])).sum()
+    assert np.isclose(vol, 1.0, atol=1e-12)
+    # face normals: scaled outward normal has |n| = h on each face
+    x_fq, nor = geo.face_geometry(jnp.asarray(m.x), disc.Bmf, disc.Gmf,
+                                  disc.n_ref)
+    assert np.allclose(np.linalg.norm(np.asarray(nor), axis=-1), h, atol=1e-13)
+    # face 3 is x- : normal = (-h, 0)
+    assert np.allclose(np.asarray(nor)[:, 3, :, 0], -h, atol=1e-13)
+
+
+def test_mass_matrix_exact():
+    # 1 element, p=1, unit square: M = h^2/36 * [[4,2,2,1],...] (bilinear)
+    m = make_cartesian_mesh(2, (1, 1), (0, 0), (1, 1), (False, False))
+    disc = build_discretization(m, p=1)
+    g = geo.volume_geometry(jnp.asarray(m.x), disc.Bm, disc.Gm)
+    M = np.asarray(asm.element_mass(g["detJ"], disc.Bu, disc.w_q))[0]
+    M_exact = np.array([[4, 2, 2, 1], [2, 4, 1, 2], [2, 1, 4, 2],
+                        [1, 2, 2, 4]]) / 36.0
+    assert np.allclose(M, M_exact, atol=1e-14)
+    # lumped mass sums to the volume
+    assert np.isclose(np.asarray(asm.lumped_mass(M[None]))[0].sum(), 1.0,
+                      atol=1e-14)
+
+
+def test_convection_column_identity():
+    """sum_i K[i,j] = sign * int v.grad(phi_j): check against quadrature."""
+    m = load_mesh("periodic-square", rs_levels=1)
+    disc = build_discretization(m, p=3)
+    g = geo.volume_geometry(jnp.asarray(m.x), disc.Bm, disc.Gm)
+    # divergence-free rotation v = (y, -x)
+    v_q = jnp.stack([g["x_q"][..., 1], -g["x_q"][..., 0]], axis=-1)
+    K = asm.element_convection(v_q, g["adjJ"], disc.Bu, disc.Gu, disc.w_q,
+                               sign=-1.0)
+    # row sums: sum_j K[i,j] = -int v.grad(sum_j phi_j) phi_i = 0 exactly
+    assert np.allclose(np.asarray(K).sum(axis=2), 0.0, atol=1e-13)
+
+
+def test_face_coupling_consistency():
+    """Face matrices of both sides of an interior face must transpose-match:
+    bdrInt[e,f,i,j] (transport) uses vn- from e's side; the neighbor sees
+    vn- of the flipped normal; upwind: exactly one side is nonzero for
+    uniform v."""
+    m = load_mesh("periodic-square", rs_levels=0)
+    disc = build_discretization(m, p=2)
+    x = jnp.asarray(m.x)
+    x_fq, nor = geo.face_geometry(x, disc.Bmf, disc.Gmf, disc.n_ref)
+    v = jnp.broadcast_to(jnp.array([1.0, 0.0]), x_fq.shape)
+    bdrInt = asm.face_upwind_matrices(v, nor, disc.w_fq, disc.Bface, 0)
+    b = np.asarray(bdrInt)
+    # v=(1,0): inflow on face 3 (x-), outflow on face 1 (x+)
+    assert (b[:, 3] > 0).any() and np.allclose(b[:, 1], 0.0)
+    assert np.allclose(b[:, 0], 0.0) and np.allclose(b[:, 2], 0.0)
+
+
+def test_dg_transport_conservation():
+    """Total Ku (element + faces) vanishes on a periodic mesh for
+    divergence-free polynomial velocity: discrete conservation."""
+    m = load_mesh("periodic-square", rs_levels=2)
+    disc = build_discretization(m, p=3)
+    dm = disc.dofmaps
+    x = jnp.asarray(m.x)
+    g = geo.volume_geometry(x, disc.Bm, disc.Gm)
+    x_fq, nor = geo.face_geometry(x, disc.Bmf, disc.Gmf, disc.n_ref)
+    v_q = jnp.stack([g["x_q"][..., 1], -g["x_q"][..., 0]], -1)
+    v_fq = jnp.stack([x_fq[..., 1], -x_fq[..., 0]], -1)
+    K = asm.element_convection(v_q, g["adjJ"], disc.Bu, disc.Gu, disc.w_q, -1.0)
+    bdrInt = asm.face_upwind_matrices(v_fq, nor, disc.w_fq, disc.Bface, 0)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((m.num_elements, dm.nd)))
+    u_nbr = asm.gather_nbr_face(u, jnp.asarray(dm.nbr_elem),
+                                jnp.asarray(dm.nbr_dof_local))
+    Ku = asm.apply_K_HO(u, K, bdrInt, u_nbr, jnp.asarray(dm.bdr_dofs))
+    total = float(np.asarray(Ku).sum())
+    scale = float(np.abs(np.asarray(Ku)).sum())
+    assert abs(total) < 1e-12 * max(scale, 1.0)
