@@ -47,6 +47,8 @@ class Discretization:
     # --- nodes ---
     ref_nodes_u: np.ndarray   # [nd, dim] solution (closed-uniform) ref nodes
     Bm_at_unodes: np.ndarray  # [nd, nm]  mesh basis at solution nodes
+    Bm_at_glnodes: np.ndarray # [nd, nm]  mesh basis at Gauss-Legendre nodes
+    T_gl_to_unif: np.ndarray  # [nd, nd]  GL-nodal interpolant -> uniform pts
     # solution basis at mesh nodes is not needed; mesh basis at GLL bounds
     # nodes equals identity when mesh_order == p (not assumed).
 
@@ -119,10 +121,16 @@ def build_discretization(mesh: StructuredMesh, p: int) -> Discretization:
     ref_nodes_u = B.tensor_nodes(p, "uniform", dim)   # Bernstein ctrl points
     unodes_1d = np.linspace(0.0, 1.0, p + 1)
     Bm_at_unodes = B.tensor_mixed([B.lagrange_vals(gll_m, unodes_1d)] * dim)
+    # Gauss-Legendre nodal L2 interpolation -> evaluated at uniform nodes
+    # (the two-step inflow projection for problem 7, remhos.cpp:628-635)
+    gl_nodes = B.gauss_legendre(p + 1)[0]
+    Bm_at_glnodes = B.tensor_mixed([B.lagrange_vals(gll_m, gl_nodes)] * dim)
+    T_gl_to_unif = B.tensor_mixed([B.lagrange_vals(gl_nodes, unodes_1d)] * dim)
 
     return Discretization(
         mesh=mesh, p=p, dofmaps=dofmaps,
         w_q=w_q, Bu=Bu, Gu=Gu, Bm=Bm, Gm=Gm,
         w_fq=w_fq, Bface=Bface, Bmf=Bmf, Gmf=Gmf, n_ref=n_ref,
         ref_nodes_u=ref_nodes_u, Bm_at_unodes=Bm_at_unodes,
+        Bm_at_glnodes=Bm_at_glnodes, T_gl_to_unif=T_gl_to_unif,
     )

@@ -1,0 +1,236 @@
+"""Driver: setup + time loop + reporting (the remhos() entry equivalent).
+
+Reproduces the reference driver's structure (remhos.cpp:210-1523) as a
+library function `run(cfg) -> RunResult` whose `final_mass_u` plays the
+role of the C entry's out-parameter (remhos.cpp:210), used by the
+regression tests exactly like remhos_tests.cpp does.
+
+The per-step state advance is one jitted function; the Python loop only
+handles the adaptive-dt rollback (remhos.cpp:1178-1197), steady-state
+stopping (:1276-1294) and logging.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import problems as prob
+from . import steppers
+from . import sync as syncm
+from .config import RunConfig, RunResult
+from .discretization import build_discretization
+from .mesh import default_mesh, load_mesh
+from .operator import Advection, SolverConfig
+
+
+def _project_bernstein(adv_x_nodes, Bm_at_unodes, func):
+    """MFEM PositiveFiniteElement::Project semantics: coefficient values at
+    the closed-uniform nodes become the Bernstein dofs (positivity/bounds
+    preserving quasi-interpolation; used for u0/s0/inflow projections,
+    remhos.cpp:883, 636)."""
+    x_unodes = jnp.einsum("end,mn->emd", adv_x_nodes, jnp.asarray(Bm_at_unodes))
+    return func(x_unodes), x_unodes
+
+
+def _cfl_dt(mesh, problem, order):
+    """CFL-based initial dt for -dt < 0 (remhos.cpp:537-553)."""
+    h = float(np.prod(mesh.element_size()) ** (1.0 / mesh.dim))
+    # element centers
+    centers = mesh.x.mean(axis=1)  # GLL nodes average = center for our meshes
+    v = np.asarray(prob.velocity_function(problem, jnp.asarray(centers),
+                                          mesh.bb_min, mesh.bb_max))
+    speed = np.sqrt((v * v).sum(axis=1) + 1e-14)
+    return float(np.min(0.25 * h / speed))
+
+
+def _integrate_mesh_velocity(x0, Bm_self, problem, bb_min, bb_max, t_final,
+                             dt):
+    """Remap pseudo-velocity: integrate nodes to the final position with the
+    analytic velocity, v_gf = x_final - x0 (remhos.cpp:560-584). Nodal
+    projection of the velocity == evaluation at the GLL mesh nodes."""
+    x = jnp.asarray(x0)
+    v = prob.velocity_function(problem, x, bb_min, bb_max)
+    t = 0.0
+    while t < t_final:
+        t += dt
+        x = x + min(dt, t_final - t) * v
+        v = prob.velocity_function(problem, x, bb_min, bb_max)
+    return x - jnp.asarray(x0)
+
+
+def run(cfg: RunConfig) -> RunResult:
+    exec_mode = prob.exec_mode_of(cfg.problem)
+
+    # --- mesh ---
+    if cfg.mesh == "default":
+        mesh = default_mesh(cfg.dim, cfg.n_shards, cfg.elem_per_shard,
+                            cfg.mesh_order)
+        mesh = mesh.refine(cfg.rp_levels)
+    else:
+        mesh = load_mesh(cfg.mesh, cfg.rs_levels + cfg.rp_levels,
+                         cfg.mesh_order)
+    disc = build_discretization(mesh, cfg.order)
+    dm = disc.dofmaps
+
+    t_final = cfg.t_final
+    dt = cfg.dt
+    if dt < 0.0:
+        dt = _cfl_dt(mesh, cfg.problem, cfg.order)
+
+    # --- remap mesh velocity ---
+    x0_nodes = jnp.asarray(mesh.x)
+    v_nodes = None
+    if exec_mode == 1:
+        v_nodes = _integrate_mesh_velocity(mesh.x, disc.Bm, cfg.problem,
+                                           mesh.bb_min, mesh.bb_max,
+                                           t_final, dt)
+        t_final = 1.0   # pseudo-time convention (remhos.cpp:1128-1134)
+
+    # --- solver config / operator ---
+    scfg = SolverConfig(problem=cfg.problem, ho=cfg.ho, lo=cfg.lo,
+                        fct=cfg.fct, mono=cfg.mono,
+                        ode_solver=cfg.ode_solver,
+                        bounds_type=cfg.bounds_type,
+                        dt_control=cfg.dt_control,
+                        product_sync=cfg.product_sync,
+                        smth_ind=cfg.smth_ind)
+
+    # inflow projection (remhos.cpp:626-636)
+    inflow_vals = None
+    if cfg.problem % 10 in (6, 7):
+        if cfg.problem == 7:
+            # two-step projection: GL-nodal L2 interpolation, then evaluate
+            # at the Bernstein control points (remhos.cpp:628-635)
+            x_gl = jnp.einsum("end,mn->emd", x0_nodes,
+                              jnp.asarray(disc.Bm_at_glnodes))
+            f_gl = prob.inflow_function(cfg.problem, x_gl)
+            inflow_vals = jnp.einsum("mk,ek->em",
+                                     jnp.asarray(disc.T_gl_to_unif), f_gl)
+        else:
+            x_un = jnp.einsum("end,mn->emd", x0_nodes,
+                              jnp.asarray(disc.Bm_at_unodes))
+            inflow_vals = prob.inflow_function(cfg.problem, x_un)
+
+    adv = Advection(disc, scfg, x0_nodes, v_nodes, inflow_vals)
+
+    # --- initial condition ---
+    u0, x_unodes = _project_bernstein(
+        x0_nodes, disc.Bm_at_unodes,
+        lambda x: prob.u0_function(cfg.problem, x, mesh.bb_min, mesh.bb_max))
+    fields = [u0]
+    if cfg.product_sync:
+        active_el, _ = syncm.bool_indicators(u0)
+        s0 = jnp.where(active_el[:, None], prob.s0_function(x_unodes), 0.0)
+        fields.append(u0 * s0)
+    S = jnp.stack(fields)
+
+    # --- initial masses (remhos.cpp:1072-1081) ---
+    geom0 = adv.geometry(0.0)
+    masses = geom0["ml"]
+    mass0_u = float((masses * S[0]).sum())
+    mass0_us = float((masses * S[1]).sum()) if cfg.product_sync else 0.0
+
+    # --- stepper ---
+    if cfg.ode_solver <= 10:
+        f = adv.stage_function()
+        step = steppers.make_rk_step(f, cfg.ode_solver)
+    else:
+        step = steppers.make_idp_step(adv.mult_unlimited, adv.limit_mult,
+                                      cfg.ode_solver)
+    step = jax.jit(step)
+
+    # --- time loop (remhos.cpp:1146-1330) ---
+    t = 0.0
+    ti = 0
+    ti_total = 0
+    done = False
+    steady = cfg.problem in (6, 7, 8)
+    res_prev = S[0]
+    residual = 0.0
+    wall0 = time.perf_counter()
+    while not done:
+        dt_real = min(dt, t_final - t)
+        S_new, ratio = step(S, t, dt_real)
+        ti += 1
+        ti_total += 1
+        if cfg.dt_control != 0:
+            r = float(ratio)
+            if r < 1.0:
+                if cfg.verbose:
+                    print(f"Repeat / decrease dt: {dt_real} --> {0.85 * dt}")
+                ti -= 1
+                dt = 0.85 * dt
+                if dt < 1e-12:
+                    raise RuntimeError("The time step crashed!")
+                continue
+            elif r > 1.25:
+                dt *= 1.02
+        S = S_new
+        t += dt_real
+
+        if not steady:
+            done = t >= t_final - 1e-8 * dt
+        else:
+            diff = (masses * S[0] - masses * res_prev) / dt_real
+            residual = float(jnp.sqrt((diff * diff).sum()))
+            if residual < 1e-12 and t >= 1.0:
+                done = True
+                S = S.at[0].set(res_prev)
+            else:
+                res_prev = S[0]
+        if ti_total == cfg.max_tsteps:
+            done = True
+        if cfg.verbose and (done or ti % cfg.vis_steps == 0):
+            print(f"time step: {ti}, time: {t:.6g}, dt: {dt:.6g}, "
+                  f"residual: {residual:.6g}")
+    wall = time.perf_counter() - wall0
+
+    # --- final mass / max (remhos.cpp:1382-1436) ---
+    if exec_mode == 1:
+        ml_final = adv.geometry(t)["ml"]
+    else:
+        ml_final = masses
+    mass_u = float((ml_final * S[0]).sum())
+    max_u = float(S[0].max())
+    res = RunResult(final_mass_u=mass_u, max_u=max_u,
+                    mass_loss_u=abs(mass0_u - mass_u),
+                    steps=ti, steps_total=ti_total, t=t, dt=dt,
+                    residual=residual,
+                    timers={"wall_s": wall})
+    if cfg.product_sync:
+        mass_us = float((ml_final * S[1]).sum())
+        s, _, s_dofs = syncm.compute_ratio(S[1], S[0])
+        res.final_mass_us = mass_us
+        res.mass_loss_us = abs(mass0_us - mass_us)
+        res.max_s = float(s.max())
+
+    # --- L1 error for the convergence problems (remhos.cpp:1438-1470) ---
+    if cfg.problem in (4, 7):
+        # quadrature-based L1 error against the exact solution
+        from . import geometry as geo
+        x = x0_nodes if exec_mode == 0 else x0_nodes + t * v_nodes
+        vol = geo.volume_geometry(x, adv.Bm, adv.Gm)
+        u_q = jnp.einsum("qj,ej->eq", adv.Bu, S[0])
+        if cfg.problem == 4:
+            ex_q = prob.u0_function(cfg.problem, vol["x_q"], mesh.bb_min,
+                                    mesh.bb_max)
+        else:
+            ex_q = prob.inflow_function(cfg.problem, vol["x_q"])
+        wdet = jnp.asarray(disc.w_q)[None, :] * vol["detJ"]
+        res.l1_error = float((wdet * jnp.abs(u_q - ex_q)).sum())
+
+    if cfg.verbose:
+        print(f"Final mass u:  {mass_u:.10g}")
+        print(f"Max value u:   {max_u:.10g}")
+        print(f"Mass loss u:   {res.mass_loss_u:.6g}")
+        if cfg.product_sync:
+            print(f"Final mass us: {res.final_mass_us:.10g}")
+            print(f"Max value s:   {res.max_s:.10g}")
+            print(f"Mass loss us:  {res.mass_loss_us:.6g}")
+        if res.l1_error >= 0:
+            print(f"L1-error: {res.l1_error:.6g}.")
+    return res

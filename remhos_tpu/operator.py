@@ -1,0 +1,316 @@
+"""The advection operator: per-stage geometry + HO/LO/FCT/mono dispatch.
+
+TPU-native equivalent of the reference's AdvectionOperator
+(remhos.cpp:115-198, 1596-1916): a factory producing pure, jit-safe
+``mult_unlimited`` / ``limit_mult`` stage functions over the block state
+``S[nfields, E, nd]`` (field 0 = u, field 1 = us for product remap).
+
+Remap mode re-derives all geometric factors, mass/convection matrices and
+face matrices from ``x = x0 + t*v`` inside the stage (the reference's
+per-stage reassembly, remhos.cpp:1598-1676) — on TPU this is a handful of
+batched einsums instead of a matrix reassembly pass.
+
+The ``gather_nbr`` seam abstracts face-neighbor access: the single-chip
+implementation gathers directly; the sharded implementation exchanges
+halos via collective permutes (parallel/halo.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax.numpy as jnp
+
+from . import assembly as asm
+from . import bounds as bnd
+from . import fct as fctm
+from . import geometry as geo
+from . import ho as hom
+from . import lo as lom
+from . import problems as prob
+from . import sync as syncm
+from .discretization import Discretization
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Solver selection, mirroring the reference CLI (remhos.cpp:249-334)."""
+
+    problem: int = 4
+    ho: int = 3          # 0 none, 1 Neumann, 2 CG, 3 LocalInverse
+    lo: int = 0          # 0 none, 1 DU, 2 DU-prec, 3 RD, 4 RD-subcell, 5 MassBased
+    fct: int = 0         # 0 none, 1 FluxBased, 2 ClipScale, 3 NonlinPenalty, 4 ElemProj
+    mono: int = 0        # 0 none, 1 RDMono, 2 RDMonoSubcell
+    ode_solver: int = 3
+    bounds_type: int = 0
+    dt_control: int = 0  # 0 fixed, 1 LO bounds violation
+    product_sync: bool = False
+    smth_ind: int = 0
+
+    @property
+    def exec_mode(self) -> int:
+        return prob.exec_mode_of(self.problem)
+
+
+class Advection:
+    """Bundles static tables + stage functions. Not a pytree; its arrays are
+    passed explicitly through `params` to keep jit caches clean."""
+
+    def __init__(self, disc: Discretization, cfg: SolverConfig,
+                 x0_nodes, v_nodes=None, inflow=None):
+        self.disc = disc
+        self.cfg = cfg
+        dm = disc.dofmaps
+        self.bdr_dofs = jnp.asarray(dm.bdr_dofs)
+        self.nbr_elem = jnp.asarray(dm.nbr_elem)
+        self.nbr_dof_local = jnp.asarray(dm.nbr_dof_local)
+        self.x0_nodes = jnp.asarray(x0_nodes)
+        self.v_nodes = None if v_nodes is None else jnp.asarray(v_nodes)
+        self.inflow = None if inflow is None else jnp.asarray(inflow)
+        # inflow values at each element's face dofs (used as the neighbor
+        # value at physical boundaries in flux lumping,
+        # remhos_tools.cpp:891)
+        self.inflow_face = (None if inflow is None
+                            else self.inflow[:, self.bdr_dofs])
+        # static tables as jnp
+        self.Bu = jnp.asarray(disc.Bu)
+        self.Gu = jnp.asarray(disc.Gu)
+        self.Bm = jnp.asarray(disc.Bm)
+        self.Gm = jnp.asarray(disc.Gm)
+        self.w_q = jnp.asarray(disc.w_q)
+        self.w_fq = jnp.asarray(disc.w_fq)
+        self.Bface = jnp.asarray(disc.Bface)
+        self.Bmf = jnp.asarray(disc.Bmf)
+        self.Gmf = jnp.asarray(disc.Gmf)
+        self.n_ref = jnp.asarray(disc.n_ref)
+        self.bb_min = disc.mesh.bb_min
+        self.bb_max = disc.mesh.bb_max
+        self.gather_nbr = partial(asm.gather_nbr_face, nbr_elem=self.nbr_elem,
+                                  nbr_dof_local=self.nbr_dof_local)
+
+    # ------------------------------------------------------------------
+    # geometry / operators at a stage time
+    # ------------------------------------------------------------------
+
+    def geometry(self, t):
+        """All stage-dependent operator data (remhos.cpp:1598-1676)."""
+        cfg = self.cfg
+        if cfg.exec_mode == 1:
+            x = self.x0_nodes + t * self.v_nodes
+        else:
+            x = self.x0_nodes
+        vol = geo.volume_geometry(x, self.Bm, self.Gm)
+        x_fq, nor = geo.face_geometry(x, self.Bmf, self.Gmf, self.n_ref)
+        if cfg.exec_mode == 0:
+            v_q = prob.velocity_function(cfg.problem, vol["x_q"],
+                                         self.bb_min, self.bb_max)
+            v_fq = prob.velocity_function(cfg.problem, x_fq,
+                                          self.bb_min, self.bb_max)
+            sign = -1.0
+        else:
+            v_q = jnp.einsum("qn,end->eqd", self.Bm, self.v_nodes)
+            v_fq = jnp.einsum("fqn,end->efqd", self.Bmf, self.v_nodes)
+            sign = 1.0
+
+        K_elem = asm.element_convection(v_q, vol["adjJ"], self.Bu, self.Gu,
+                                        self.w_q, sign)
+        bdrInt = asm.face_upwind_matrices(v_fq, nor, self.w_fq, self.Bface,
+                                          cfg.exec_mode)
+        M = asm.element_mass(vol["detJ"], self.Bu, self.w_q)
+        ml = asm.lumped_mass(M)
+        geom = dict(detJ=vol["detJ"], K_elem=K_elem, bdrInt=bdrInt, M=M, ml=ml)
+        if cfg.ho in (2, 3) or cfg.fct != 0 or cfg.mono != 0:
+            geom["chol_L"] = hom.mass_cholesky(M)
+        if cfg.lo in (1, 2):
+            geom["D"] = lom.discrete_upwind_matrix(K_elem)
+        return geom
+
+    # ------------------------------------------------------------------
+    # solvers
+    # ------------------------------------------------------------------
+
+    def _ho_solution(self, geom, u):
+        cfg = self.cfg
+        if cfg.ho in (2, 3):
+            u_nbr = self.gather_nbr(u)     # zero at physical boundaries
+            Ku = asm.apply_K_HO(u, geom["K_elem"], geom["bdrInt"], u_nbr,
+                                self.bdr_dofs)
+            if cfg.ho == 3:
+                return hom.local_inverse(Ku, geom["chol_L"])
+            return hom.cg_mass_solve(geom["M"], Ku)
+        if cfg.ho == 1:
+            rhs = jnp.einsum("eij,ej->ei", geom["K_elem"], u)
+            u_face = asm.gather_face(u, self.bdr_dofs)
+            u_nbr = self.gather_nbr(u, bdr_value=self._inflow_face_for(u))
+            contrib = asm.face_term_full(u_face, u_nbr, geom["bdrInt"])
+            rhs = asm.scatter_face_add(rhs, contrib, self.bdr_dofs)
+            return hom.neumann(u, rhs, geom["M"], geom["ml"])
+        raise ValueError("no HO solver selected")
+
+    def _inflow_face_for(self, u):
+        if self.inflow_face is None:
+            return None
+        return self.inflow_face
+
+    def _lo_solution(self, geom, u, du_HO=None, dt=None):
+        cfg = self.cfg
+        bdr_value = self._inflow_face_for(u)
+        if cfg.lo == 5:
+            if du_HO is None:
+                du_HO = self._ho_solution(geom, u)
+            return lom.mass_based_avg(u, du_HO, dt, geom["detJ"], self.w_q,
+                                      self.Bu)
+        u_nbr = self.gather_nbr(u, bdr_value=bdr_value)
+        if cfg.lo in (1, 2):
+            return lom.discrete_upwind(u, u_nbr, geom["D"], geom["bdrInt"],
+                                       geom["ml"], self.bdr_dofs)
+        if cfg.lo in (3, 4):
+            return lom.residual_distribution(u, u_nbr, geom["K_elem"],
+                                             geom["bdrInt"], geom["ml"],
+                                             self.bdr_dofs,
+                                             subcell=False)
+        raise ValueError("no LO solver selected")
+
+    def _dt_ratio(self, u, du, x_min, x_max, dt):
+        """LO-bounds dt estimate (remhos.cpp:1968-1998): largest dt keeping
+        x_min <= u + dt*du <= x_max, as a ratio to the current dt."""
+        eps = 1e-12
+        up = jnp.where(du > eps, (x_max - u) / jnp.where(du > eps, du, 1.0),
+                       jnp.inf)
+        dn = jnp.where(du < -eps, (x_min - u) / jnp.where(du < -eps, du, 1.0),
+                       jnp.inf)
+        dt_est = jnp.minimum(up.min(), dn.min())
+        return dt_est / dt
+
+    # ------------------------------------------------------------------
+    # stage functions (over the block state S[nfields, E, nd])
+    # ------------------------------------------------------------------
+
+    def mult_unlimited(self, t, dt, S):
+        """HO (or mono/LO-only) update for all fields
+        (AdvectionOperator::MultUnlimited, remhos.cpp:1596-1739)."""
+        cfg = self.cfg
+        geom = self.geometry(t)
+        outs = []
+        for k in range(S.shape[0]):
+            u = S[k]
+            if cfg.mono != 0:
+                from . import mono as monom
+                du = monom.mono_rd_solution(self, geom, u, dt)
+            elif cfg.fct != 0:
+                du = self._ho_solution(geom, u)
+            elif cfg.lo != 0:
+                du = self._lo_solution(geom, u, dt=dt)
+            else:
+                du = self._ho_solution(geom, u)
+            outs.append(du)
+        return jnp.stack(outs)
+
+    def limit_mult(self, t, dt, S, dS):
+        """FCT limiting for all fields (AdvectionOperator::LimitMult,
+        remhos.cpp:1798-1916). Returns (dS_limited, dt_ratio)."""
+        cfg = self.cfg
+        ratio = jnp.asarray(jnp.inf, S.dtype)
+        if cfg.fct == 0:
+            if cfg.dt_control != 0 and cfg.lo != 0:
+                geom = self.geometry(t)
+                u = S[0]
+                el_min, el_max = bnd.elements_min_max(u)
+                x_min, x_max = bnd.compute_bounds(el_min, el_max,
+                                                  self.disc.dofmaps,
+                                                  cfg.bounds_type)
+                ratio = self._dt_ratio(u, dS[0], x_min, x_max, dt)
+            return dS, ratio
+
+        geom = self.geometry(t)
+        u, du_HO = S[0], dS[0]
+        du_LO = self._lo_solution(geom, u, du_HO=du_HO, dt=dt)
+        el_min, el_max = bnd.elements_min_max(u)
+        x_min, x_max = bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
+                                          cfg.bounds_type)
+        du = self._fct_solution(geom, u, du_HO, du_LO, x_min, x_max, dt)
+        if cfg.dt_control != 0:
+            ratio = self._dt_ratio(u, du_LO, x_min, x_max, dt)
+        outs = [du]
+
+        if S.shape[0] > 1:
+            outs.append(self._limit_product(geom, t, dt, S, dS, du))
+        return jnp.stack(outs), ratio
+
+    def _fct_solution(self, geom, u, du_HO, du_LO, x_min, x_max, dt):
+        cfg = self.cfg
+        if cfg.fct == 2:
+            return fctm.clip_scale(u, geom["ml"], du_HO, du_LO, x_min, x_max,
+                                   dt)
+        if cfg.fct == 4:
+            return fctm.element_fct_projection(u, du_HO, du_LO, x_min, x_max,
+                                               geom["M"], dt)
+        if cfg.fct == 1:
+            from . import fct_flux
+            return fct_flux.flux_based_fct(self, geom, u, du_HO, du_LO,
+                                           x_min, x_max, dt)
+        if cfg.fct == 3:
+            from . import fct_penalty
+            return fct_penalty.nonlinear_penalty(self, geom, u, du_HO, du_LO,
+                                                 x_min, x_max, dt)
+        raise ValueError(f"unsupported fct type {cfg.fct}")
+
+    def _limit_product(self, geom, t, dt, S, dS, d_u_limited):
+        """Product-field block of LimitMult (remhos.cpp:1848-1915)."""
+        cfg = self.cfg
+        us, d_us_HO = S[1], dS[1]
+        u = S[0]
+
+        needs_lo_product = (cfg.fct == 1)  # FluxBasedFCT::NeedsLOProductInput
+        d_us_LO = (self._lo_solution(geom, us, du_HO=d_us_HO, dt=dt)
+                   if needs_lo_product else jnp.zeros_like(us))
+
+        # s = us/u on old active dofs; bounds for s on the active stencil
+        s, s_el, s_dofs = syncm.compute_ratio(us, u)
+        el_min, el_max = bnd.elements_min_max(s, active_el=s_el,
+                                              active_dof=s_dofs)
+        s_min, s_max = bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
+                                          cfg.bounds_type, active_el=s_el)
+
+        # evolve u, new activity
+        u_new = u + dt * d_u_limited
+        el_new, dofs_new = syncm.bool_indicators(u_new)
+
+        return self._fct_product(geom, us, d_us_HO, d_us_LO, s_min, s_max,
+                                 u_new, el_new, dofs_new, dt)
+
+    def _fct_product(self, geom, us, d_us_HO, d_us_LO, s_min, s_max, u_new,
+                     active_el, active_dofs, dt):
+        """CalcFCTProduct for clip-scale-style solvers
+        (remhos_fct.cpp:543-566 / 733-758)."""
+        cfg = self.cfg
+        m = geom["ml"]
+        dus_lo_fct, s_min, s_max = fctm.calc_compatible_lo_product(
+            us, m, d_us_HO, s_min, s_max, u_new, active_el, active_dofs, dt)
+        us_min, us_max = fctm.scale_product_bounds(s_min, s_max, u_new,
+                                                   active_el, active_dofs)
+        if cfg.fct == 2:
+            d_us = fctm.clip_scale(us, m, d_us_HO, dus_lo_fct, us_min, us_max,
+                                   dt)
+        elif cfg.fct == 4:
+            d_us = fctm.element_fct_projection(us, d_us_HO, dus_lo_fct,
+                                               us_min, us_max, geom["M"], dt)
+        elif cfg.fct == 1:
+            from . import fct_flux
+            d_us = fct_flux.flux_based_fct_product(
+                self, geom, us, d_us_HO, d_us_LO, dus_lo_fct, s_min, s_max,
+                us_min, us_max, u_new, active_el, active_dofs, dt)
+        else:
+            raise ValueError(f"unsupported fct product type {cfg.fct}")
+        return syncm.zero_out_empty_dofs(active_el, active_dofs, d_us)
+
+    # ------------------------------------------------------------------
+
+    def stage_function(self):
+        """f(t, dt, S) -> (dS, aux) for the standard RK path
+        (LimitedTimeDependentOperator::Mult)."""
+        def f(t, dt, S):
+            dS = self.mult_unlimited(t, dt, S)
+            return self.limit_mult(t, dt, S, dS)
+        return f

@@ -1,0 +1,185 @@
+"""Explicit time integrators.
+
+- Standard RK (Forward Euler, RK2(1), RK3-SSP, RK4) with MFEM's exact stage
+  times and update forms (mfem ode.cpp; selected by -s 1/2/3/4 in
+  remhos.cpp:486-492). Each stage evaluates f = LimitMult∘MultUnlimited
+  (LimitedTimeDependentOperator::Mult, remhos_solvers.hpp:46-50).
+- IDP (invariant-domain-preserving) RK: every stage re-expressed as a
+  limited forward-Euler update via coefficients d from the Butcher tableau
+  (RKIDPSolver, remhos_solvers.cpp:40-249; -s 11/12/13/14/16). The driver
+  disables stage masks (remhos.cpp:502-506), matching UseMask(false); the
+  masked path is kept for product remap experiments.
+
+`f(t, dt_stage_for_limiter, u)` -> du; steppers are pure and jit-safe.
+The `dt` passed to f is what the limiter uses as SetDt (for standard RK the
+reference sets it once per step to dt_real; for IDP it is the stage dt).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def construct_d(a, b, c, s):
+    """Convert a Butcher tableau into forward-Euler recombination factors
+    (RKIDPSolver::ConstructD, remhos_solvers.cpp:40-95). Pure float python,
+    run once at setup."""
+    a = list(a)
+    b = list(b)
+    c = list(c)
+    d = np.zeros(s * (s + 1) // 2)
+    a_n_off = 0          # offset into a (or b for the last stage)
+    a_o_off = 0
+    use_b_n = False
+    i_o = -1
+    c_o = 0.0
+    use_b_o = False
+
+    def coeff(off, use_b, j):
+        return (b[j] if use_b else a[off + j])
+
+    for i in range(s):
+        c_n = c[i] if i < s - 1 else 1.0
+        dc = c_n - c_o
+        di = i * (i + 1) // 2
+        for j in range(i):
+            a_oj = coeff(a_o_off, use_b_o, j) if j <= i_o else 0.0
+            m = (coeff(a_n_off, use_b_n, j) - a_oj) / dc
+            if m == 0.0:
+                d[di + j] = 0.0
+                continue
+            dj = j * (j + 1) // 2
+            dij = m / d[dj + j]
+            for k in range(j):
+                d[di + k] -= d[dj + k] * dij
+            d[di + j] = dij
+        d[di + i] = coeff(a_n_off, use_b_n, i) / dc
+
+        c_next = c[i + 1] if i < s - 2 else 1.0
+        if c_next > c_n:
+            i_o = i
+            c_o = c_n
+            a_o_off, use_b_o = a_n_off, use_b_n
+        if i < s - 2:
+            a_n_off += i + 1
+        else:
+            a_n_off, use_b_n = 0, True
+    return d
+
+
+# IDP tableaus (remhos_solvers.cpp:251-279)
+IDP_TABLEAUS = {
+    12: dict(s=2, a=[.5], b=[0., 1.], c=[.5]),
+    13: dict(s=3, a=[1. / 3., 0., 2. / 3.], b=[.25, 0., .75],
+             c=[1. / 3., 2. / 3.]),
+    14: dict(s=4, a=[1. / 3., -1. / 3., 1., 1., -1., 1.],
+             b=[1. / 8., 3. / 8., 3. / 8., 1. / 8.], c=[1. / 3., 2. / 3., 1.]),
+    16: dict(s=6,
+             a=[.25, 1. / 8., 1. / 8., 0., -.5, 1., 3. / 16., 0., 0., 9. / 16.,
+                -3. / 7., 2. / 7., 12. / 7., -12. / 7., 8. / 7.],
+             b=[7. / 90., 0., 32. / 90., 12. / 90., 32. / 90., 7. / 90.],
+             c=[.25, .25, .5, .75, 1.]),
+}
+
+
+def make_rk_step(f, kind: int):
+    """Standard RK step(u, t, dt) -> (u_new, aux); f(t, dt, u) -> (du, aux).
+
+    `aux` is a scalar side channel (the LO-bounds dt ratio when -dtc 1,
+    remhos.cpp:1968-1998) combined with min across stages; +inf when unused.
+    The limiter dt is the full step dt for all stages (the reference calls
+    adv.SetDt(dt_real) once per step, remhos.cpp:1154).
+    """
+    import jax.numpy as jnp
+
+    if kind == 1:
+        def step(u, t, dt):
+            k1, a1 = f(t, dt, u)
+            return u + dt * k1, a1
+    elif kind == 2:  # MFEM RK2Solver(1.0)
+        def step(u, t, dt):
+            k1, a1 = f(t, dt, u)
+            y = u + dt * k1
+            k2, a2 = f(t + dt, dt, y)
+            return u + 0.5 * dt * (k1 + k2), jnp.minimum(a1, a2)
+    elif kind == 3:  # MFEM RK3SSPSolver
+        def step(u, t, dt):
+            k, a1 = f(t, dt, u)
+            y = u + dt * k
+            k, a2 = f(t + dt, dt, y)
+            y = 0.75 * u + 0.25 * (y + dt * k)
+            k, a3 = f(t + dt / 2, dt, y)
+            return (u / 3.0 + 2.0 / 3.0 * (y + dt * k),
+                    jnp.minimum(a1, jnp.minimum(a2, a3)))
+    elif kind == 4:  # classic RK4
+        def step(u, t, dt):
+            k1, a1 = f(t, dt, u)
+            k2, a2 = f(t + dt / 2, dt, u + dt / 2 * k1)
+            k3, a3 = f(t + dt / 2, dt, u + dt / 2 * k2)
+            k4, a4 = f(t + dt, dt, u + dt * k3)
+            aux = jnp.minimum(jnp.minimum(a1, a2), jnp.minimum(a3, a4))
+            return u + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), aux
+    else:
+        raise ValueError(f"unsupported RK type {kind}")
+    return step
+
+
+def make_idp_step(mult_unlimited, limit_mult, kind: int):
+    """IDP-RK step mirroring RKIDPSolver::Step (remhos_solvers.cpp:171-249),
+    without stage masks (UseMask(false), remhos.cpp:502-506).
+
+    mult_unlimited(t, dt, u) -> du_unlimited
+    limit_mult(t, dt, u, du) -> (du_limited, aux)
+    """
+    import jax.numpy as jnp
+
+    if kind == 11:
+        def step(u, t, dt):
+            du = mult_unlimited(t, dt, u)
+            du, aux = limit_mult(t, dt, u, du)
+            return u + dt * du, aux
+        return step
+
+    tab = IDP_TABLEAUS[kind]
+    s = tab["s"]
+    c = list(tab["c"])
+    d = construct_d(tab["a"], tab["b"], tab["c"], s)
+
+    def step(u, t, dt):
+        dxs = []
+        aux = jnp.asarray(jnp.inf, dtype=u.dtype)
+        # stage 0
+        dt0 = c[0] * dt
+        dx = mult_unlimited(t, dt0, u)
+        dx, a = limit_mult(t, dt0, u, dx)
+        aux = jnp.minimum(aux, a)
+        dxs.append(dx)
+        c_o = 0.0
+        x = u
+        t_stage = t
+        c_next = c[1] if s > 2 else 1.0
+        if c_next > c[0]:
+            x = x + dt0 * dx
+            t_stage = t + dt0
+            c_o = c[0]
+        for i in range(1, s):
+            c_n = c[i] if i < s - 1 else 1.0
+            dc = c_n - c_o
+            dct = dc * dt
+            dx = mult_unlimited(t_stage, dct, x)
+            di = i * (i + 1) // 2
+            dx = dx * d[di + i]
+            for j in range(i):
+                if d[di + j] != 0.0:
+                    dx = dx + d[di + j] * dxs[j]
+            dx, a = limit_mult(t_stage, dct, x, dx)
+            aux = jnp.minimum(aux, a)
+            dxs.append(dx)
+            c_next = c[i + 1] if i < s - 2 else 1.0
+            if i == s - 1 or c_next > c_n:
+                t_stage = t + c_n * dt
+                x = x + dct * dx
+                c_o = c_n
+        return x, aux
+
+    return step
