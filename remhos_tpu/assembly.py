@@ -42,7 +42,10 @@ def element_convection(v_q, adjJ, Bu, Gu, w_q, sign):
       K[i,j] = sign * sum_q w_q phi_i (v^T adjJ^T)_b Ghat_j,b
     """
     va = jnp.einsum("eqd,eqbd->eqb", v_q, adjJ)   # (adjJ v): v.grad_x = va.grad_ref
-    return sign * jnp.einsum("eqb,qi,qjb,q->eij", va, Bu, Gu, w_q)
+    # staged contraction keeps temps at [E,Q,nd] and feeds one MXU batched
+    # matmul; a single 4-operand einsum lets XLA materialize [E,Q,nd,nd]
+    vg = jnp.einsum("eqb,qjb->eqj", va, Gu)       # [E, Q, nd]
+    return sign * jnp.einsum("qi,eqj->eij", Bu * w_q[:, None], vg)
 
 
 def face_upwind_matrices(v_fq, nor, w_fq, Bface, exec_mode):

@@ -33,13 +33,10 @@ def elements_min_max(u, active_el=None, active_dof=None):
     return el_min, el_max
 
 
-def overlap_bounds(el_min, el_max, cg_idx, n_cg, active_el=None):
-    """(dof_min[E,nd], dof_max[E,nd]) via the overlapping-elements stencil.
+def overlap_cg_minmax(el_min, el_max, cg_idx, n_cg, active_el=None):
+    """Scatter element extrema onto the shared CG (GLL) node grid.
 
-    cg_idx[E,nd]: global CG (GLL) node id of each DG dof. Inactive elements
-    don't contribute but still read back bounds (new-element activation
-    mechanism, remhos_tools.cpp:475-487).
-    """
+    Returns (x_min[n_cg], x_max[n_cg]). Deterministic scatter-min/max."""
     E, nd = cg_idx.shape
     src_min = jnp.broadcast_to(el_min[:, None], (E, nd))
     src_max = jnp.broadcast_to(el_max[:, None], (E, nd))
@@ -49,6 +46,17 @@ def overlap_bounds(el_min, el_max, cg_idx, n_cg, active_el=None):
     flat = cg_idx.reshape(-1)
     x_min = jnp.full((n_cg,), INF, el_min.dtype).at[flat].min(src_min.reshape(-1))
     x_max = jnp.full((n_cg,), -INF, el_max.dtype).at[flat].max(src_max.reshape(-1))
+    return x_min, x_max
+
+
+def overlap_bounds(el_min, el_max, cg_idx, n_cg, active_el=None):
+    """(dof_min[E,nd], dof_max[E,nd]) via the overlapping-elements stencil.
+
+    cg_idx[E,nd]: global CG (GLL) node id of each DG dof. Inactive elements
+    don't contribute but still read back bounds (new-element activation
+    mechanism, remhos_tools.cpp:475-487).
+    """
+    x_min, x_max = overlap_cg_minmax(el_min, el_max, cg_idx, n_cg, active_el)
     return x_min[cg_idx], x_max[cg_idx]
 
 

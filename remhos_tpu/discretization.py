@@ -49,6 +49,8 @@ class Discretization:
     Bm_at_unodes: np.ndarray  # [nd, nm]  mesh basis at solution nodes
     Bm_at_glnodes: np.ndarray # [nd, nm]  mesh basis at Gauss-Legendre nodes
     T_gl_to_unif: np.ndarray  # [nd, nd]  GL-nodal interpolant -> uniform pts
+    Bgl: np.ndarray           # [Q, nd]   GL nodal tensor basis at volume quad
+    A_gl2b: np.ndarray        # [nd, nd]  GL-nodal -> Bernstein coefficients
     # solution basis at mesh nodes is not needed; mesh basis at GLL bounds
     # nodes equals identity when mesh_order == p (not assumed).
 
@@ -126,6 +128,12 @@ def build_discretization(mesh: StructuredMesh, p: int) -> Discretization:
     gl_nodes = B.gauss_legendre(p + 1)[0]
     Bm_at_glnodes = B.tensor_mixed([B.lagrange_vals(gll_m, gl_nodes)] * dim)
     T_gl_to_unif = B.tensor_mixed([B.lagrange_vals(gl_nodes, unodes_1d)] * dim)
+    # GL nodal basis at the volume rule + GL->Bernstein basis change, for
+    # the PA DGMassInverse path (remhos_ho.cpp:79)
+    Bgl = B.tensor_mixed([B.lagrange_vals(gl_nodes, q1)] * dim)
+    A1 = np.linalg.solve(B.bernstein_vals(p, unodes_1d),
+                         B.lagrange_vals(gl_nodes, unodes_1d))
+    A_gl2b = B.tensor_mixed([A1] * dim)
 
     return Discretization(
         mesh=mesh, p=p, dofmaps=dofmaps,
@@ -133,4 +141,5 @@ def build_discretization(mesh: StructuredMesh, p: int) -> Discretization:
         w_fq=w_fq, Bface=Bface, Bmf=Bmf, Gmf=Gmf, n_ref=n_ref,
         ref_nodes_u=ref_nodes_u, Bm_at_unodes=Bm_at_unodes,
         Bm_at_glnodes=Bm_at_glnodes, T_gl_to_unif=T_gl_to_unif,
+        Bgl=Bgl, A_gl2b=A_gl2b,
     )

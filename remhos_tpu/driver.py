@@ -38,9 +38,8 @@ def _project_bernstein(adv_x_nodes, Bm_at_unodes, func):
 
 def _cfl_dt(mesh, problem, order):
     """CFL-based initial dt for -dt < 0 (remhos.cpp:537-553)."""
-    h = float(np.prod(mesh.element_size()) ** (1.0 / mesh.dim))
-    # element centers
-    centers = mesh.x.mean(axis=1)  # GLL nodes average = center for our meshes
+    h = mesh.element_sizes()
+    centers = mesh.element_centers()
     v = np.asarray(prob.velocity_function(problem, jnp.asarray(centers),
                                           mesh.bb_min, mesh.bb_max))
     speed = np.sqrt((v * v).sum(axis=1) + 1e-14)
@@ -91,8 +90,9 @@ def run(cfg: RunConfig) -> RunResult:
         t_final = 1.0   # pseudo-time convention (remhos.cpp:1128-1134)
 
     # --- solver config / operator ---
+    pa = cfg.pa and mesh.dim > 1   # "Disabling PA / FA for 1D" (remhos.cpp:474-480)
     scfg = SolverConfig(problem=cfg.problem, ho=cfg.ho, lo=cfg.lo,
-                        fct=cfg.fct, mono=cfg.mono,
+                        fct=cfg.fct, mono=cfg.mono, pa=pa,
                         ode_solver=cfg.ode_solver,
                         bounds_type=cfg.bounds_type,
                         dt_control=cfg.dt_control,
@@ -135,13 +135,26 @@ def run(cfg: RunConfig) -> RunResult:
     mass0_us = float((masses * S[1]).sum()) if cfg.product_sync else 0.0
 
     # --- stepper ---
-    if cfg.ode_solver <= 10:
+    if cfg.n_shards > 1:
+        from .parallel.sharded import make_sharded_step, shard_arrays
+        dev_mesh, sharded_step = make_sharded_step(
+            mesh, scfg, cfg.order, cfg.n_shards, cfg.ode_solver)
+        v_arr = (v_nodes if v_nodes is not None
+                 else jnp.zeros_like(x0_nodes))
+        infl_arr = (inflow_vals if inflow_vals is not None
+                    else jnp.zeros_like(S[0]))
+        S, x0_sh, v_sh, infl_sh = shard_arrays(dev_mesh, "shard", S,
+                                               x0_nodes, v_arr, infl_arr)
+
+        def step(Sv, t, dt):
+            return sharded_step(Sv, t, dt, x0_sh, v_sh, infl_sh)
+    elif cfg.ode_solver <= 10:
         f = adv.stage_function()
-        step = steppers.make_rk_step(f, cfg.ode_solver)
+        step = jax.jit(steppers.make_rk_step(f, cfg.ode_solver))
     else:
-        step = steppers.make_idp_step(adv.mult_unlimited, adv.limit_mult,
-                                      cfg.ode_solver)
-    step = jax.jit(step)
+        step = jax.jit(steppers.make_idp_step(adv.mult_unlimited,
+                                              adv.limit_mult,
+                                              cfg.ode_solver))
 
     # --- time loop (remhos.cpp:1146-1330) ---
     t = 0.0

@@ -2,9 +2,11 @@
 
 TPU-native replacement for MFEM's GeometricFactors / FaceGeometricFactors /
 ElementTransformation machinery (reference usage: remhos_lo.cpp:302-311,
-remhos_tools.cpp:788-858, remhos.cpp:1598-1676). Everything is batched
-jnp.einsum over all elements — in remap mode these run inside the jitted
-RK stage at every mesh move, which is the reference's RHS-FOM hot spot.
+remhos_tools.cpp:788-858, remhos.cpp:1598-1676). In remap mode these run
+inside the jitted RK stage at every mesh move — the reference's RHS-FOM
+hot spot — so every contraction is expressed as one large reshaped 2D
+matmul ``[E*dim, nm] @ [nm, ...]`` that tiles onto the MXU (generic
+small-axis einsums lower poorly on TPU).
 
 Conventions:
 - mesh nodes ``x[E, nm, dim]``, lexicographic tensor Gauss-Lobatto nodes
@@ -20,13 +22,30 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _nodes_matrix(x):
+    """x[E, nm, dim] -> [E*dim, nm] for one big contraction over nodes."""
+    E, nm, dim = x.shape
+    return x.transpose(0, 2, 1).reshape(E * dim, nm), E, dim
+
+
+def interp_nodes(x, Bt):
+    """Interpolate nodal field at points: Bt[P, nm] -> [E, P, dim]."""
+    A, E, dim = _nodes_matrix(x)
+    out = A @ Bt.T                                 # [E*dim, P]
+    return out.reshape(E, dim, -1).transpose(0, 2, 1)
+
+
 def jacobians(x, Gm):
-    """J[E, q, dim, dim] from nodes x[E, nm, dim] and grad table Gm[q, nm, dim]."""
-    return jnp.einsum("end,qnb->eqdb", x, Gm)
+    """J[E, Q, dim, dim] from nodes x[E, nm, dim], grad table Gm[Q, nm, dim]."""
+    A, E, dim = _nodes_matrix(x)
+    Q, nm, _ = Gm.shape
+    G2 = Gm.transpose(1, 0, 2).reshape(nm, Q * dim)
+    J = (A @ G2).reshape(E, dim, Q, dim)
+    return J.transpose(0, 2, 1, 3)                 # [E, Q, d, b]
 
 
 def det_adj(J):
-    """(detJ[E,q], adjJ[E,q,dim,dim]) without linear solves."""
+    """(detJ[...], adjJ[...,dim,dim]) without linear solves."""
     dim = J.shape[-1]
     if dim == 1:
         det = J[..., 0, 0]
@@ -59,30 +78,29 @@ def det_adj(J):
 
 
 def volume_geometry(x, Bm, Gm):
-    """Quad-point geometry for volume integrals.
-
-    Returns dict with x_q[E,q,dim], detJ[E,q], adjJ[E,q,dim,dim].
-    """
+    """Quad-point geometry for volume integrals:
+    x_q[E,Q,dim], detJ[E,Q], adjJ[E,Q,dim,dim]."""
     J = jacobians(x, Gm)
     det, adj = det_adj(J)
-    x_q = jnp.einsum("end,qn->eqd", x, Bm)
+    x_q = interp_nodes(x, Bm)
     return {"x_q": x_q, "detJ": det, "adjJ": adj}
 
 
 def face_geometry(x, Bmf, Gmf, n_ref):
     """Face quad-point geometry for all element faces at once.
 
-    x:     [E, nm, dim]    mesh nodes
-    Bmf:   [nf, qf, nm]    mesh basis values at each face's quad points
-    Gmf:   [nf, qf, nm, dim] mesh basis ref-gradients there
-    n_ref: [nf, dim]       outward reference normals
-
+    x:     [E, nm, dim];  Bmf: [nf, Qf, nm];  Gmf: [nf, Qf, nm, dim]
+    n_ref: [nf, dim] outward reference normals
     Returns x_fq[E,nf,qf,dim], scaled outward normal nor[E,nf,qf,dim]
     (|nor| = surface Jacobian).
     """
-    J = jnp.einsum("end,fqnb->efqdb", x, Gmf)
+    A, E, dim = _nodes_matrix(x)
+    nf, Qf, nm = Bmf.shape
+    B2 = Bmf.transpose(2, 0, 1).reshape(nm, nf * Qf)
+    x_fq = (A @ B2).reshape(E, dim, nf, Qf).transpose(0, 2, 3, 1)
+    G2 = Gmf.transpose(2, 0, 1, 3).reshape(nm, nf * Qf * dim)
+    J = (A @ G2).reshape(E, dim, nf, Qf, dim).transpose(0, 2, 3, 1, 4)
     _, adj = det_adj(J)
     # Nanson: n = adj(J)^T n_ref
     nor = jnp.einsum("efqdb,fd->efqb", adj, n_ref)
-    x_fq = jnp.einsum("end,fqn->efqd", x, Bmf)
     return x_fq, nor

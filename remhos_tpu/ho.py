@@ -40,11 +40,12 @@ def local_inverse(Ku, chol_L):
     return cho_solve(chol_L, Ku)
 
 
-def cg_mass_solve(M, rhs, rel_tol=1e-12, max_iter=500):
+def cg_mass_solve(M, rhs, rel_tol=1e-12, max_iter=500, all_sum=None):
     """Jacobi-preconditioned CG for M du = rhs (CGHOSolver semantics).
 
     M is block diagonal over elements, so this is element-local in exact
     arithmetic; implemented as a fixed-shape while_loop (lax-friendly).
+    `all_sum` reduces dot products across shards (psum) when sharded.
     """
     diag = jnp.einsum("eii->ei", M)
     inv_diag = 1.0 / diag
@@ -53,7 +54,8 @@ def cg_mass_solve(M, rhs, rel_tol=1e-12, max_iter=500):
         return jnp.einsum("eij,ej->ei", M, x)
 
     def dot(a, b):
-        return (a * b).sum()
+        d = (a * b).sum()
+        return d if all_sum is None else all_sum(d)
 
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
@@ -82,18 +84,22 @@ def cg_mass_solve(M, rhs, rel_tol=1e-12, max_iter=500):
     return x
 
 
-def neumann(u, Ku_lumped_faces, M, ml, abs_tol=1e-4, max_iter=20):
+def neumann(u, Ku_lumped_faces, M, ml, abs_tol=1e-4, max_iter=20,
+            all_sum=None):
     """Lumped-mass Neumann iteration (remhos_ho.cpp:136-187).
 
     Ku_lumped_faces: element K·u plus LinearFluxLumping(alpha=1) face terms
-    and inflow contributions — assembled by the caller.
+    and inflow contributions — assembled by the caller. `all_sum` reduces
+    the residual norm across shards (the reference's MPI_Allreduce,
+    remhos_ho.cpp:176).
     """
     rhs = Ku_lumped_faces
 
     def body(c):
         du, resid, it = c
         res = jnp.einsum("eij,ej->ei", M, du) - rhs
-        resid = jnp.sqrt((res * res).sum())
+        rr = (res * res).sum()
+        resid = jnp.sqrt(rr if all_sum is None else all_sum(rr))
         du = jnp.where(resid <= abs_tol, du, du - res / ml)
         return (du, resid, it + 1)
 

@@ -52,9 +52,17 @@ def residual_distribution(u, u_nbr, K_elem, bdrInt, ml, bdr_dofs,
     subcell_weights: [E, numSubcells, numDofsSubcell] (Assembly::
     SubcellWeights); sub2ind: [numSubcells, numDofsSubcell].
     """
-    nd = u.shape[1]
     z = jnp.einsum("eij,ej->ei", K_elem, u)
     du = _face_lumped_into_dofs(u, u_nbr, bdrInt, bdr_dofs)
+    return residual_distribution_core(u, z, du, ml, subcell,
+                                      subcell_weights, sub2ind)
+
+
+def residual_distribution_core(u, z, du, ml, subcell=False,
+                               subcell_weights=None, sub2ind=None):
+    """RD weights given the discretization residual z = K u and the
+    face-lumped accumulator du (shared by the FA and PA paths)."""
+    nd = u.shape[1]
 
     xe_max = u.max(1)
     xe_min = u.min(1)

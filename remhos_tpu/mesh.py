@@ -44,7 +44,14 @@ def faces_for_dim(dim: int):
 
 @dataclasses.dataclass(frozen=True)
 class StructuredMesh:
-    """Immutable structured mesh description + per-element node coords."""
+    """Immutable structured mesh description + per-element node coords.
+
+    `breaks` holds the exact per-axis element boundaries. The reference's
+    mesh files store truncated decimals (e.g. periodic-cube.mesh interior
+    vertices are six-digit -0.333333), and golden parity requires
+    reproducing those exact values — so breaks, not (lo, hi, shape), are
+    the source of truth for geometry.
+    """
 
     dim: int
     shape: tuple[int, ...]          # elements per axis
@@ -54,6 +61,7 @@ class StructuredMesh:
     mesh_order: int                 # geometry order (MFEM mesh_order, default 2)
     x: np.ndarray                   # [E, nm, dim] node coords (GLL tensor nodes)
     nbr_elem: np.ndarray            # [E, nfaces] neighbor element ids, -1 = bdr
+    breaks: tuple = None            # per-axis element boundary coordinates
 
     @property
     def num_elements(self) -> int:
@@ -76,17 +84,38 @@ class StructuredMesh:
         return np.asarray(self.hi)
 
     def refine(self, levels: int = 1) -> "StructuredMesh":
+        """Uniform refinement = midpoint insertion per axis (matches MFEM
+        Mesh::UniformRefinement of a tensor mesh)."""
         m = self
         for _ in range(levels):
-            m = make_cartesian_mesh(
-                m.dim, tuple(2 * s for s in m.shape), m.lo, m.hi, m.periodic,
-                m.mesh_order,
-            )
+            new_breaks = tuple(_refine_breaks(b) for b in m.breaks)
+            m = make_mesh_from_breaks(m.dim, new_breaks, m.periodic,
+                                      m.mesh_order)
         return m
 
-    def element_size(self) -> np.ndarray:
-        """Per-axis element extent (uniform grid)."""
-        return (np.asarray(self.hi) - np.asarray(self.lo)) / np.asarray(self.shape)
+    def element_sizes(self) -> np.ndarray:
+        """[E] per-element size (prod of widths)^(1/dim) — MFEM
+        GetElementSize type 0 for a tensor grid."""
+        widths = [np.diff(b) for b in self.breaks]
+        grids = np.meshgrid(*widths, indexing="ij")
+        vol = np.ones_like(grids[0])
+        for g in grids:
+            vol = vol * g
+        return (vol.ravel(order="F")) ** (1.0 / self.dim)
+
+    def element_centers(self) -> np.ndarray:
+        """[E, dim] element centers."""
+        cs = [0.5 * (b[:-1] + b[1:]) for b in self.breaks]
+        grids = np.meshgrid(*cs, indexing="ij")
+        return np.stack([g.ravel(order="F") for g in grids], axis=-1)
+
+
+def _refine_breaks(b: np.ndarray) -> np.ndarray:
+    mids = 0.5 * (b[:-1] + b[1:])
+    out = np.empty(2 * len(b) - 1)
+    out[0::2] = b
+    out[1::2] = mids
+    return out
 
 
 def _element_multi_index(shape: tuple[int, ...]) -> np.ndarray:
@@ -96,31 +125,34 @@ def _element_multi_index(shape: tuple[int, ...]) -> np.ndarray:
     return np.stack([g.ravel(order="F") for g in grids], axis=-1)
 
 
-def make_cartesian_mesh(
+def make_mesh_from_breaks(
     dim: int,
-    shape: tuple[int, ...],
-    lo: tuple[float, ...],
-    hi: tuple[float, ...],
+    breaks: tuple,
     periodic: tuple[bool, ...],
     mesh_order: int = 2,
 ) -> StructuredMesh:
-    shape = tuple(int(s) for s in shape)
-    lo = tuple(float(v) for v in lo)
-    hi = tuple(float(v) for v in hi)
+    breaks = tuple(np.asarray(b, dtype=np.float64) for b in breaks)
+    shape = tuple(len(b) - 1 for b in breaks)
+    lo = tuple(float(b[0]) for b in breaks)
+    hi = tuple(float(b[-1]) for b in breaks)
     periodic = tuple(bool(b) for b in periodic)
     E = int(np.prod(shape))
     nm1 = mesh_order + 1
     gll = gauss_lobatto(nm1)  # [nm1] on [0,1]
 
-    h = (np.asarray(hi) - np.asarray(lo)) / np.asarray(shape)
     eidx = _element_multi_index(shape)  # [E, dim]
 
     # reference tensor nodes, x fastest
     grids = np.meshgrid(*([gll] * dim), indexing="ij")
     ref = np.stack([g.ravel(order="F") for g in grids], axis=-1)  # [nm, dim]
 
-    # x[e, n, d] = lo[d] + (eidx[e,d] + ref[n,d]) * h[d]
-    x = lo + (eidx[:, None, :] + ref[None, :, :]) * h  # [E, nm, dim]
+    # x[e, n, d] = breaks[d][i_e] + ref[n, d] * width
+    x = np.empty((E, len(ref), dim))
+    for d in range(dim):
+        b = breaks[d]
+        los = b[eidx[:, d]]
+        ws = b[eidx[:, d] + 1] - los
+        x[:, :, d] = los[:, None] + ref[None, :, d] * ws[:, None]
 
     # neighbor table
     strides = np.cumprod((1,) + shape[:-1])  # [dim]
@@ -139,7 +171,19 @@ def make_cartesian_mesh(
         nbr[:, f] = np.where(valid, nbr_id, -1)
 
     return StructuredMesh(dim, shape, lo, hi, periodic, mesh_order,
-                          x.astype(np.float64), nbr)
+                          x.astype(np.float64), nbr, breaks)
+
+
+def make_cartesian_mesh(
+    dim: int,
+    shape: tuple[int, ...],
+    lo: tuple[float, ...],
+    hi: tuple[float, ...],
+    periodic: tuple[bool, ...],
+    mesh_order: int = 2,
+) -> StructuredMesh:
+    breaks = tuple(np.linspace(lo[d], hi[d], shape[d] + 1) for d in range(dim))
+    return make_mesh_from_breaks(dim, breaks, periodic, mesh_order)
 
 
 # ---------------------------------------------------------------------------
@@ -147,21 +191,26 @@ def make_cartesian_mesh(
 # Citations are the mesh files under /root/reference/data/.
 # ---------------------------------------------------------------------------
 
+# The per-axis breakpoints reproduce the EXACT coordinates stored in the
+# reference mesh files (truncated decimals and all) — required to match the
+# reference goldens at full precision.
+_T9 = 0.333333333      # periodic-square.mesh interior vertex (9 digits)
+_T6 = 0.333333         # periodic-cube.mesh interior vertex (6 digits)
 _REGISTRY = {
     # data/inline-quad.mesh: 4x4 quads on [0,1]^2, non-periodic
-    "inline-quad": dict(dim=2, shape=(4, 4), lo=(0, 0), hi=(1, 1),
+    "inline-quad": dict(dim=2, breaks=([0, 0.25, 0.5, 0.75, 1],) * 2,
                         periodic=(False, False)),
     # data/periodic-square.mesh: 3x3 quads on [-1,1]^2, fully periodic
-    "periodic-square": dict(dim=2, shape=(3, 3), lo=(-1, -1), hi=(1, 1),
+    "periodic-square": dict(dim=2, breaks=([-1, -_T9, _T9, 1],) * 2,
                             periodic=(True, True)),
     # data/periodic-cube.mesh: 3x3x3 hexes on [-1,1]^3, fully periodic
-    "periodic-cube": dict(dim=3, shape=(3, 3, 3), lo=(-1, -1, -1),
-                          hi=(1, 1, 1), periodic=(True, True, True)),
+    "periodic-cube": dict(dim=3, breaks=([-1, -_T6, _T6, 1],) * 3,
+                          periodic=(True, True, True)),
     # data/cube01_hex.mesh: 2x2x2 hexes on [0,1]^3, non-periodic
-    "cube01_hex": dict(dim=3, shape=(2, 2, 2), lo=(0, 0, 0), hi=(1, 1, 1),
+    "cube01_hex": dict(dim=3, breaks=([0, 0.5, 1],) * 3,
                        periodic=(False, False, False)),
     # data/periodic-segment.mesh: 4 segments on [0,1], periodic
-    "periodic-segment": dict(dim=1, shape=(4,), lo=(0,), hi=(1,),
+    "periodic-segment": dict(dim=1, breaks=([0, 0.25, 0.5, 0.75, 1],),
                              periodic=(True,)),
 }
 
@@ -178,8 +227,8 @@ def load_mesh(name: str, rs_levels: int = 0, mesh_order: int = 2) -> StructuredM
             f"unknown/unsupported mesh '{name}' (structured meshes: "
             f"{sorted(_REGISTRY)})")
     spec = _REGISTRY[key]
-    m = make_cartesian_mesh(spec["dim"], spec["shape"], spec["lo"], spec["hi"],
-                            spec["periodic"], mesh_order)
+    m = make_mesh_from_breaks(spec["dim"], spec["breaks"], spec["periodic"],
+                              mesh_order)
     return m.refine(rs_levels)
 
 

@@ -28,7 +28,9 @@ from . import fct as fctm
 from . import geometry as geo
 from . import ho as hom
 from . import lo as lom
+from . import pa as pam
 from . import problems as prob
+from . import structured as strm
 from . import sync as syncm
 from .discretization import Discretization
 
@@ -47,6 +49,7 @@ class SolverConfig:
     dt_control: int = 0  # 0 fixed, 1 LO bounds violation
     product_sync: bool = False
     smth_ind: int = 0
+    pa: bool = False     # matrix-free (partial assembly) hot path
 
     @property
     def exec_mode(self) -> int:
@@ -84,10 +87,17 @@ class Advection:
         self.Bmf = jnp.asarray(disc.Bmf)
         self.Gmf = jnp.asarray(disc.Gmf)
         self.n_ref = jnp.asarray(disc.n_ref)
+        self.Bgl = jnp.asarray(disc.Bgl)
+        self.A_gl2b = jnp.asarray(disc.A_gl2b)
+        self.Bu_w = self.Bu * self.w_q[:, None]
         self.bb_min = disc.mesh.bb_min
         self.bb_max = disc.mesh.bb_max
-        self.gather_nbr = partial(asm.gather_nbr_face, nbr_elem=self.nbr_elem,
-                                  nbr_dof_local=self.nbr_dof_local)
+        # roll-based structured neighbor gather (fast path); the generic
+        # index-table gather stays available for tests via assembly.py
+        mesh = disc.mesh
+        self.gather_nbr = partial(strm.gather_nbr_structured,
+                                  shape=mesh.shape, periodic=mesh.periodic,
+                                  nbr_dof_local=dm.nbr_dof_local)
 
     # ------------------------------------------------------------------
     # geometry / operators at a stage time
@@ -109,9 +119,24 @@ class Advection:
                                           self.bb_min, self.bb_max)
             sign = -1.0
         else:
-            v_q = jnp.einsum("qn,end->eqd", self.Bm, self.v_nodes)
-            v_fq = jnp.einsum("fqn,end->efqd", self.Bmf, self.v_nodes)
+            v_q = geo.interp_nodes(self.v_nodes, self.Bm)
+            nf, Qf, nm = self.Bmf.shape
+            v_fq = geo.interp_nodes(
+                self.v_nodes, self.Bmf.reshape(nf * Qf, nm)).reshape(
+                    x.shape[0], nf, Qf, -1)
             sign = 1.0
+
+        if cfg.pa:
+            # matrix-free quadrature data only (the reference's -pa path:
+            # remhos.cpp:681-694; per-stage remap recompute :1645-1676)
+            wdet = self.w_q[None, :] * vol["detJ"]
+            va = sign * jnp.einsum("eqd,eqbd->eqb", v_q, vol["adjJ"])
+            vn = jnp.einsum("efqd,efqd->efq", v_fq, nor)
+            vns = (jnp.minimum(0.0, vn) if cfg.exec_mode == 0
+                   else -jnp.maximum(0.0, vn))
+            wvn = -(self.w_fq[None, None, :] * vns)
+            ml = pam.lumped_mass_pa(wdet, self.Bu)
+            return dict(detJ=vol["detJ"], wdet=wdet, va=va, wvn=wvn, ml=ml)
 
         K_elem = asm.element_convection(v_q, vol["adjJ"], self.Bu, self.Gu,
                                         self.w_q, sign)
@@ -120,7 +145,7 @@ class Advection:
         M = asm.element_mass(vol["detJ"], self.Bu, self.w_q)
         ml = asm.lumped_mass(M)
         geom = dict(detJ=vol["detJ"], K_elem=K_elem, bdrInt=bdrInt, M=M, ml=ml)
-        if cfg.ho in (2, 3) or cfg.fct != 0 or cfg.mono != 0:
+        if cfg.ho == 3 or cfg.fct != 0 or cfg.mono != 0:
             geom["chol_L"] = hom.mass_cholesky(M)
         if cfg.lo in (1, 2):
             geom["D"] = lom.discrete_upwind_matrix(K_elem)
@@ -132,26 +157,58 @@ class Advection:
 
     def _ho_solution(self, geom, u):
         cfg = self.cfg
+        if cfg.pa and cfg.ho in (2, 3):
+            u_nbr = self.gather_nbr(u)
+            Ku = pam.conv_action(u, geom["va"], self.Gu, self.Bu_w)
+            contrib = pam.face_full_apply(u[:, self.bdr_dofs], u_nbr,
+                                          self.Bface, geom["wvn"])
+            Ku = asm.scatter_face_add(Ku, contrib, self.bdr_dofs)
+            if cfg.ho == 3:
+                return pam.mass_solve_gl(Ku, geom["wdet"], self.Bgl,
+                                         self.A_gl2b,
+                                         all_sum=self.all_sum_fn())
+            return pam.mass_solve_bern(Ku, geom["wdet"], self.Bu,
+                                       all_sum=self.all_sum_fn())
         if cfg.ho in (2, 3):
             u_nbr = self.gather_nbr(u)     # zero at physical boundaries
             Ku = asm.apply_K_HO(u, geom["K_elem"], geom["bdrInt"], u_nbr,
                                 self.bdr_dofs)
             if cfg.ho == 3:
                 return hom.local_inverse(Ku, geom["chol_L"])
-            return hom.cg_mass_solve(geom["M"], Ku)
+            return hom.cg_mass_solve(geom["M"], Ku, all_sum=self.all_sum_fn())
         if cfg.ho == 1:
             rhs = jnp.einsum("eij,ej->ei", geom["K_elem"], u)
             u_face = asm.gather_face(u, self.bdr_dofs)
             u_nbr = self.gather_nbr(u, bdr_value=self._inflow_face_for(u))
             contrib = asm.face_term_full(u_face, u_nbr, geom["bdrInt"])
             rhs = asm.scatter_face_add(rhs, contrib, self.bdr_dofs)
-            return hom.neumann(u, rhs, geom["M"], geom["ml"])
+            return hom.neumann(u, rhs, geom["M"], geom["ml"],
+                               all_sum=self.all_sum_fn())
         raise ValueError("no HO solver selected")
 
     def _inflow_face_for(self, u):
         if self.inflow_face is None:
             return None
         return self.inflow_face
+
+    def compute_bounds(self, el_min, el_max, active_el=None):
+        """Per-dof bounds; overridden by the sharded operator to include
+        cross-shard halo contributions."""
+        if self.cfg.bounds_type == 0:
+            mesh = self.disc.mesh
+            return strm.overlap_bounds_structured(
+                el_min, el_max, mesh.shape, mesh.periodic, self.disc.p,
+                active_el=active_el)
+        return bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
+                                  self.cfg.bounds_type, active_el=active_el)
+
+    def all_min(self, x):
+        """Global min hook (identity on one shard; pmin when sharded)."""
+        return x
+
+    def all_sum_fn(self):
+        """Cross-shard sum reducer for iterative solvers (None = local)."""
+        return None
 
     def _lo_solution(self, geom, u, du_HO=None, dt=None):
         cfg = self.cfg
@@ -163,9 +220,19 @@ class Advection:
                                       self.Bu)
         u_nbr = self.gather_nbr(u, bdr_value=bdr_value)
         if cfg.lo in (1, 2):
+            if cfg.pa:
+                raise ValueError("discrete upwind has no PA path "
+                                 "(matches the reference)")
             return lom.discrete_upwind(u, u_nbr, geom["D"], geom["bdrInt"],
                                        geom["ml"], self.bdr_dofs)
         if cfg.lo in (3, 4):
+            if cfg.pa:
+                z = pam.conv_action(u, geom["va"], self.Gu, self.Bu_w)
+                contrib = pam.face_lumped_apply(u[:, self.bdr_dofs], u_nbr,
+                                                self.Bface, geom["wvn"])
+                duf = asm.scatter_face_add(jnp.zeros_like(u), contrib,
+                                           self.bdr_dofs)
+                return lom.residual_distribution_core(u, z, duf, geom["ml"])
             return lom.residual_distribution(u, u_nbr, geom["K_elem"],
                                              geom["bdrInt"], geom["ml"],
                                              self.bdr_dofs,
@@ -180,7 +247,7 @@ class Advection:
                        jnp.inf)
         dn = jnp.where(du < -eps, (x_min - u) / jnp.where(du < -eps, du, 1.0),
                        jnp.inf)
-        dt_est = jnp.minimum(up.min(), dn.min())
+        dt_est = self.all_min(jnp.minimum(up.min(), dn.min()))
         return dt_est / dt
 
     # ------------------------------------------------------------------
@@ -217,9 +284,7 @@ class Advection:
                 geom = self.geometry(t)
                 u = S[0]
                 el_min, el_max = bnd.elements_min_max(u)
-                x_min, x_max = bnd.compute_bounds(el_min, el_max,
-                                                  self.disc.dofmaps,
-                                                  cfg.bounds_type)
+                x_min, x_max = self.compute_bounds(el_min, el_max)
                 ratio = self._dt_ratio(u, dS[0], x_min, x_max, dt)
             return dS, ratio
 
@@ -227,8 +292,7 @@ class Advection:
         u, du_HO = S[0], dS[0]
         du_LO = self._lo_solution(geom, u, du_HO=du_HO, dt=dt)
         el_min, el_max = bnd.elements_min_max(u)
-        x_min, x_max = bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
-                                          cfg.bounds_type)
+        x_min, x_max = self.compute_bounds(el_min, el_max)
         du = self._fct_solution(geom, u, du_HO, du_LO, x_min, x_max, dt)
         if cfg.dt_control != 0:
             ratio = self._dt_ratio(u, du_LO, x_min, x_max, dt)
@@ -270,8 +334,7 @@ class Advection:
         s, s_el, s_dofs = syncm.compute_ratio(us, u)
         el_min, el_max = bnd.elements_min_max(s, active_el=s_el,
                                               active_dof=s_dofs)
-        s_min, s_max = bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
-                                          cfg.bounds_type, active_el=s_el)
+        s_min, s_max = self.compute_bounds(el_min, el_max, active_el=s_el)
 
         # evolve u, new activity
         u_new = u + dt * d_u_limited

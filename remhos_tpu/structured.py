@@ -1,0 +1,147 @@
+"""Structured-grid fast paths: roll-based halos, separable bounds.
+
+On a structured element grid (e = ix + nx*iy + nx*ny*iz), face-neighbor
+access and the overlap-bounds stencil are *shifts*, not gathers. TPU
+executes rolls/slices at memory-bandwidth speed while dynamic gathers and
+scatters serialize — these replace assembly.gather_nbr_face and
+bounds.overlap_bounds on the hot path (bitwise-identical results; the
+generic index-table versions remain as the reference implementation and
+for tests).
+
+Grid layout: u[E, nd] reshapes to [n_last, ..., n_first, nd] (C order),
+so mesh axis a is grid dim (dim-1-a).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import faces_for_dim
+
+INF = float("inf")
+
+
+def _grid_dim(dim, axis):
+    return dim - 1 - axis
+
+
+def _edge_index(arr_ndim, gdim, side):
+    idx = [slice(None)] * arr_ndim
+    idx[gdim] = slice(-1, None) if side == 1 else slice(0, 1)
+    return tuple(idx)
+
+
+def _shift(arr, gdim, side, periodic, fill=None, edge_slab=None):
+    """Neighbor values along one grid axis: element i reads i+1 (side 1) or
+    i-1 (side 0). Non-periodic/overridden edges read `fill` or `edge_slab`."""
+    shift = -1 if side == 1 else 1
+    out = jnp.roll(arr, shift, axis=gdim)
+    if periodic and edge_slab is None:
+        return out
+    idx = _edge_index(arr.ndim, gdim, side)
+    if edge_slab is not None:
+        return out.at[idx].set(edge_slab.reshape(out[idx].shape))
+    return out.at[idx].set(fill)
+
+
+def _edge_mask(E, shape, axis, side):
+    """Boolean [E]: element lies on the (axis, side) physical edge."""
+    dim = len(shape)
+    grid_shape = tuple(reversed(shape))
+    m = np.zeros(grid_shape, dtype=bool)
+    idx = [slice(None)] * dim
+    idx[_grid_dim(dim, axis)] = -1 if side == 1 else 0
+    m[tuple(idx)] = True
+    return jnp.asarray(m.reshape(E))
+
+
+def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
+                          bdr_value=None, halo=None):
+    """u_nbr_face[E, nf, fd] via rolls (ExchangeFaceNbrData equivalent).
+
+    halo: optional dict {face_index: slab [nslab, fd]} overriding the edge
+    along the (sharded) last mesh axis; entries may be None (physical edge).
+    """
+    dim = len(shape)
+    E, nd = u.shape
+    grid_shape = tuple(reversed(shape))
+    ug = u.reshape(grid_shape + (nd,))
+    faces = faces_for_dim(dim)
+    outs = []
+    for f, (axis, side) in enumerate(faces):
+        gdim = _grid_dim(dim, axis)
+        vals = ug[..., nbr_dof_local[f]]                    # [*grid, fd]
+        nb = _shift(vals, gdim, side, periodic[axis], fill=0.0)
+        nb = nb.reshape(E, -1)
+        if halo is not None and f in halo:
+            # caller pre-masks the slab (cross-shard value or physical edge)
+            ns = halo[f].shape[0]
+            if side == 1:
+                nb = nb.at[E - ns:].set(halo[f])
+            else:
+                nb = nb.at[:ns].set(halo[f])
+        elif not periodic[axis] and bdr_value is not None:
+            edge = _edge_mask(E, shape, axis, side)
+            nb = jnp.where(edge[:, None], bdr_value[:, f], nb)
+        outs.append(nb)
+    return jnp.stack(outs, axis=1)
+
+
+def overlap_bounds_structured(el_min, el_max, shape, periodic, p,
+                              active_el=None, last_axis_exchange=None,
+                              last_axis_edges=None):
+    """Separable overlap bounds: per axis, a GLL endpoint dof also sees the
+    adjacent element's extremum; interior dofs see only their own element.
+    Equals the CG scatter-min/max of ComputeOverlapBounds
+    (remhos_tools.cpp:432-495) on a structured grid, with no scatters.
+
+    last_axis_exchange(bot, top) -> (from_prev, from_next): cross-shard
+    slab exchange of the partially reduced work arrays (sharded mode);
+    last_axis_edges = (has_prev, has_next) booleans.
+    """
+    dim = len(shape)
+    grid_shape = tuple(reversed(shape))
+    if active_el is not None:
+        el_min = jnp.where(active_el, el_min, INF)
+        el_max = jnp.where(active_el, el_max, -INF)
+    Wmin = el_min.reshape(grid_shape)
+    Wmax = el_max.reshape(grid_shape)
+    n1 = p + 1
+
+    for axis in range(dim):
+        gdim = _grid_dim(dim, axis)
+        slabs = {}
+        if axis == dim - 1 and last_axis_exchange is not None:
+            has_prev, has_next = last_axis_edges
+            for name, W, worst in (("min", Wmin, INF), ("max", Wmax, -INF)):
+                bot = W[_edge_index(W.ndim, gdim, 0)]
+                top = W[_edge_index(W.ndim, gdim, 1)]
+                from_prev, from_next = last_axis_exchange(bot, top)
+                slabs[name] = (jnp.where(has_prev, from_prev, worst),
+                               jnp.where(has_next, from_next, worst))
+        if slabs:
+            lo_min = _shift(Wmin, gdim, 0, False, edge_slab=slabs["min"][0])
+            hi_min = _shift(Wmin, gdim, 1, False, edge_slab=slabs["min"][1])
+            lo_max = _shift(Wmax, gdim, 0, False, edge_slab=slabs["max"][0])
+            hi_max = _shift(Wmax, gdim, 1, False, edge_slab=slabs["max"][1])
+        else:
+            lo_min = _shift(Wmin, gdim, 0, periodic[axis], fill=INF)
+            hi_min = _shift(Wmin, gdim, 1, periodic[axis], fill=INF)
+            lo_max = _shift(Wmax, gdim, 0, periodic[axis], fill=-INF)
+            hi_max = _shift(Wmax, gdim, 1, periodic[axis], fill=-INF)
+        # new trailing dof axis of size p+1: k=0 sees low nbr, k=p high nbr
+        mins = [jnp.minimum(Wmin, lo_min)] + [Wmin] * (n1 - 2) + \
+               [jnp.minimum(Wmin, hi_min)]
+        maxs = [jnp.maximum(Wmax, lo_max)] + [Wmax] * (n1 - 2) + \
+               [jnp.maximum(Wmax, hi_max)]
+        Wmin = jnp.stack(mins, axis=-1)
+        Wmax = jnp.stack(maxs, axis=-1)
+
+    # dof axes were appended x,y,z; lex dof order (x fastest) needs the
+    # LAST reshape axis to be x -> reverse the dof axes
+    E = int(np.prod(shape))
+    perm = tuple(range(dim)) + tuple(range(2 * dim - 1, dim - 1, -1))
+    Wmin = jnp.transpose(Wmin, perm).reshape(E, n1 ** dim)
+    Wmax = jnp.transpose(Wmax, perm).reshape(E, n1 ** dim)
+    return Wmin, Wmax

@@ -167,3 +167,63 @@ class TestBoundsTypes:
         # CFL-sized remap steps -> larger moving-mass RK error
         assert r.mass_loss_u < 2e-5
         assert r.max_u <= 1.0 + 1e-8
+
+
+class TestFluxBasedAndPenalty:
+    def test_flux_based_fct_transport(self):
+        # Blast default remap combo (-ho 3 -lo 1 -fct 1), transport variant
+        r = _run(mesh="periodic-square", problem=4, rs_levels=2, order=3,
+                 dt=0.005, t_final=0.05, ho=3, lo=1, fct=1)
+        assert r.mass_loss_u < 1e-12
+        assert r.max_u <= 1.0 + 1e-10
+
+    def test_flux_based_fct_remap(self):
+        r = _run(mesh="inline-quad", problem=14, rs_levels=1, order=3,
+                 dt=0.0015, t_final=0.75, max_tsteps=10, ho=3, lo=1, fct=1)
+        assert r.mass_loss_u < 1e-8
+        assert r.max_u <= 1.0 + 1e-8
+
+    def test_flux_based_product_remap(self):
+        # autotest: --- Product remap 2D (FCT): -ho 3 -lo 1 -fct 1 -ps -s 1
+        r = _run(mesh="inline-quad", problem=14, rs_levels=1, order=3,
+                 dt=0.005, t_final=0.75, max_tsteps=10,
+                 ho=3, lo=1, fct=1, product_sync=True, ode_solver=1)
+        # the reference's own golden for this run shows loss 1.9e-3 over
+        # 150 FE steps (autotest/out_baseline.dat "Product remap 2D (FCT)")
+        assert r.mass_loss_us < 1e-3
+        assert r.max_s <= 3.0 + 1e-8
+
+    def test_nonlinear_penalty(self):
+        r = _run(mesh="periodic-square", problem=4, rs_levels=2, order=3,
+                 dt=0.005, t_final=0.05, ho=3, lo=3, fct=3)
+        # penalty solver is "known non-conservative" (remhos_fct.hpp:176)
+        assert r.mass_loss_u < 1e-10
+        assert r.max_u <= 1.0 + 1e-10
+
+
+class TestPartialAssembly:
+    """PA (matrix-free) must reproduce FA exactly for supported configs."""
+
+    def test_pa_equals_fa_remap(self):
+        kw = dict(mesh="inline-quad", problem=14, rs_levels=1, order=3,
+                  dt=0.0015, t_final=0.75, max_tsteps=10, ho=3, lo=5, fct=2,
+                  verbose=False)
+        r_fa = _run(**kw)
+        r_pa = _run(pa=True, **kw)
+        assert abs(r_fa.final_mass_u - r_pa.final_mass_u) < 1e-12
+        assert abs(r_fa.max_u - r_pa.max_u) < 1e-12
+
+    def test_pa_resdist(self):
+        kw = dict(mesh="periodic-square", problem=4, rs_levels=2, order=3,
+                  dt=0.005, t_final=0.05, ho=2, lo=3, fct=2, verbose=False)
+        r_fa = _run(**kw)
+        r_pa = _run(pa=True, **kw)
+        assert abs(r_fa.final_mass_u - r_pa.final_mass_u) < 1e-12
+        assert abs(r_fa.max_u - r_pa.max_u) < 1e-10
+
+    def test_pa_3d(self):
+        r = _run(mesh="periodic-cube", problem=0, rs_levels=0, order=2,
+                 dt=0.01, t_final=0.05, ho=3, lo=5, fct=2, pa=True,
+                 verbose=False)
+        assert r.mass_loss_u < 1e-12
+        assert r.max_u <= 1.0 + 1e-10

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Golden regression runner — the autotest/test.sh equivalent.
+
+Runs every supported config from goldens/reference_goldens.json through the
+real solver and compares 'Final mass u' / 'Max value u' against the
+reference CI baseline (autotest/out_baseline.dat), at the baseline's own
+print precision (10 significant digits -> rel tol 5e-10, plus solver-level
+tolerances where the quantity is iteration-path dependent).
+
+Usage:  python tools/run_goldens.py [--skip NAME ...] [--only NAME ...]
+Exit 0 if all supported rows match.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax  # noqa: E402
+
+if os.environ.get("GOLDEN_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+from remhos_tpu.config import RunConfig  # noqa: E402
+from remhos_tpu.driver import run  # noqa: E402
+
+
+def rel_close(a, b, tol):
+    return abs(a - b) <= tol * max(abs(a), abs(b), 1e-30)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--n-shards", type=int, default=1)
+    args = ap.parse_args()
+
+    path = os.path.join(os.path.dirname(__file__), "..", "goldens",
+                        "reference_goldens.json")
+    rows = json.load(open(path))["runs"]
+    n_pass = n_fail = n_skip = 0
+    failures = []
+    for row in rows:
+        name = row["name"]
+        if args.only and name not in args.only:
+            continue
+        if name in args.skip:
+            continue
+        if "requires" in row:
+            print(f"SKIP {name:28s} (requires {row['requires']})")
+            n_skip += 1
+            continue
+        cfg = RunConfig(verbose=False, n_shards=args.n_shards, **row["cfg"])
+        t0 = time.perf_counter()
+        r = run(cfg)
+        wall = time.perf_counter() - t0
+        ok = True
+        msgs = []
+        # printed at 10 significant digits in the baseline
+        if "mass" in row and not rel_close(r.final_mass_u, row["mass"], 5e-9):
+            ok = False
+            msgs.append(f"mass {r.final_mass_u:.10g} != {row['mass']:.10g}")
+        if "max" in row and not rel_close(r.max_u, row["max"], 5e-9):
+            ok = False
+            msgs.append(f"max {r.max_u:.10g} != {row['max']:.10g}")
+        if "mass_us" in row and not rel_close(r.final_mass_us, row["mass_us"],
+                                              5e-9):
+            ok = False
+            msgs.append(f"mass_us {r.final_mass_us:.10g} != "
+                        f"{row['mass_us']:.10g}")
+        # losses are round-off-accumulation sensitive; order-of-magnitude
+        if "loss_us" in row and not (0.2 * row["loss_us"] <= r.mass_loss_us
+                                     <= 5.0 * row["loss_us"] + 1e-12):
+            ok = False
+            msgs.append(f"loss_us {r.mass_loss_us:.3g} vs {row['loss_us']:.3g}")
+        if "loss" in row and not (0.1 * row["loss"] <= r.mass_loss_u
+                                  <= 10.0 * row["loss"] + 1e-12):
+            ok = False
+            msgs.append(f"loss {r.mass_loss_u:.3g} vs {row['loss']:.3g}")
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name:28s} mass={r.final_mass_u:.10g} "
+              f"max={r.max_u:.10g} steps={r.steps} [{wall:.1f}s] "
+              f"{'; '.join(msgs)}", flush=True)
+        if ok:
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append((name, msgs))
+    print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} skipped "
+          f"(unimplemented)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
