@@ -108,6 +108,19 @@ def residual_distribution_core(u, z, du, ml, subcell=False,
     return du
 
 
+def precond_convection_matrix(K_elem, M_elem):
+    """PrecondConvectionIntegrator element matrix: ML * M^{-1} * K
+    (remhos_tools.cpp:975-1031; ML = lumped element mass). Used by the
+    `-lo 2` preconditioned discrete-upwind variant."""
+    import jax
+    ML = M_elem.sum(axis=2)
+    L = jnp.linalg.cholesky(M_elem)
+    Y = jax.lax.linalg.triangular_solve(L, K_elem, left_side=True, lower=True)
+    MinvK = jax.lax.linalg.triangular_solve(jnp.swapaxes(L, 1, 2), Y,
+                                            left_side=True, lower=False)
+    return ML[:, :, None] * MinvK
+
+
 def discrete_upwind_matrix(K_elem):
     """D[E,nd,nd] from element convection blocks: d_ij = max(0,-k_ij,-k_ji)
     added symmetrically, diagonal corrected to keep row sums

@@ -98,6 +98,9 @@ class Advection:
         self.gather_nbr = partial(strm.gather_nbr_structured,
                                   shape=mesh.shape, periodic=mesh.periodic,
                                   nbr_dof_local=dm.nbr_dof_local)
+        if cfg.lo == 4 or cfg.mono == 2:
+            from . import subcell as subm
+            self._subcell_nodes = subm.subcell_node_setup(self)
 
     # ------------------------------------------------------------------
     # geometry / operators at a stage time
@@ -106,6 +109,10 @@ class Advection:
     def geometry(self, t):
         """All stage-dependent operator data (remhos.cpp:1598-1676)."""
         cfg = self.cfg
+        sub_w = None
+        if cfg.lo == 4 or cfg.mono == 2:
+            from . import subcell as subm
+            sub_w = subm.subcell_weights(self, t)
         if cfg.exec_mode == 1:
             x = self.x0_nodes + t * self.v_nodes
         else:
@@ -136,7 +143,8 @@ class Advection:
                    else -jnp.maximum(0.0, vn))
             wvn = -(self.w_fq[None, None, :] * vns)
             ml = pam.lumped_mass_pa(wdet, self.Bu)
-            return dict(detJ=vol["detJ"], wdet=wdet, va=va, wvn=wvn, ml=ml)
+            return dict(detJ=vol["detJ"], wdet=wdet, va=va, wvn=wvn, ml=ml,
+                        sub_w=sub_w)
 
         K_elem = asm.element_convection(v_q, vol["adjJ"], self.Bu, self.Gu,
                                         self.w_q, sign)
@@ -144,11 +152,15 @@ class Advection:
                                           cfg.exec_mode)
         M = asm.element_mass(vol["detJ"], self.Bu, self.w_q)
         ml = asm.lumped_mass(M)
-        geom = dict(detJ=vol["detJ"], K_elem=K_elem, bdrInt=bdrInt, M=M, ml=ml)
+        geom = dict(detJ=vol["detJ"], K_elem=K_elem, bdrInt=bdrInt, M=M,
+                    ml=ml, sub_w=sub_w)
         if cfg.ho == 3 or cfg.fct != 0 or cfg.mono != 0:
             geom["chol_L"] = hom.mass_cholesky(M)
-        if cfg.lo in (1, 2):
+        if cfg.lo == 1:
             geom["D"] = lom.discrete_upwind_matrix(K_elem)
+        elif cfg.lo == 2:
+            geom["D"] = lom.discrete_upwind_matrix(
+                lom.precond_convection_matrix(K_elem, M))
         return geom
 
     # ------------------------------------------------------------------
@@ -226,17 +238,20 @@ class Advection:
             return lom.discrete_upwind(u, u_nbr, geom["D"], geom["bdrInt"],
                                        geom["ml"], self.bdr_dofs)
         if cfg.lo in (3, 4):
+            sub_kw = dict(subcell=(cfg.lo == 4),
+                          subcell_weights=geom.get("sub_w"),
+                          sub2ind=jnp.asarray(self.disc.dofmaps.sub2ind))
             if cfg.pa:
                 z = pam.conv_action(u, geom["va"], self.Gu, self.Bu_w)
                 contrib = pam.face_lumped_apply(u[:, self.bdr_dofs], u_nbr,
                                                 self.Bface, geom["wvn"])
                 duf = asm.scatter_face_add(jnp.zeros_like(u), contrib,
                                            self.bdr_dofs)
-                return lom.residual_distribution_core(u, z, duf, geom["ml"])
+                return lom.residual_distribution_core(u, z, duf, geom["ml"],
+                                                      **sub_kw)
             return lom.residual_distribution(u, u_nbr, geom["K_elem"],
                                              geom["bdrInt"], geom["ml"],
-                                             self.bdr_dofs,
-                                             subcell=False)
+                                             self.bdr_dofs, **sub_kw)
         raise ValueError("no LO solver selected")
 
     def _dt_ratio(self, u, du, x_min, x_max, dt):
