@@ -59,9 +59,12 @@ def residual_distribution(u, u_nbr, K_elem, bdrInt, ml, bdr_dofs,
 
 
 def residual_distribution_core(u, z, du, ml, subcell=False,
-                               subcell_weights=None, sub2ind=None):
+                               subcell_weights=None, sub2ind=None,
+                               gamma=1.0):
     """RD weights given the discretization residual z = K u and the
-    face-lumped accumulator du (shared by the FA and PA paths)."""
+    face-lumped accumulator du (shared by the FA and PA paths).
+    gamma: subcell blending factor (1.0 in remhos_lo.cpp:118; 10.0 in the
+    monolithic solver, remhos_mono.cpp:68)."""
     nd = u.shape[1]
 
     xe_max = u.max(1)
@@ -76,7 +79,6 @@ def residual_distribution_core(u, z, du, ml, subcell=False,
     weightN = (xe_min[:, None] - u) / sumWeightsN[:, None]
 
     if subcell:
-        gamma = 1.0
         ndd = sub2ind.shape[1]
         u_sub = u[:, sub2ind]                            # [E, ns, ndd]
         fluct = (subcell_weights * u_sub).sum(-1)        # [E, ns]

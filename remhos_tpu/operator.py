@@ -101,6 +101,14 @@ class Advection:
         if cfg.lo == 4 or cfg.mono == 2:
             from . import subcell as subm
             self._subcell_nodes = subm.subcell_node_setup(self)
+        if cfg.smth_ind:
+            from .si import SmoothnessIndicator
+            self.smth = SmoothnessIndicator(cfg.smth_ind, disc,
+                                            self.bb_min, self.bb_max)
+        if cfg.mono != 0:
+            from . import mono as monom
+            self.mono_scale = jnp.asarray(monom.velocity_scale(
+                disc.mesh, disc, cfg.problem, self.bb_min, self.bb_max))
 
     # ------------------------------------------------------------------
     # geometry / operators at a stage time

@@ -210,8 +210,11 @@ class TestPartialAssembly:
                   verbose=False)
         r_fa = _run(**kw)
         r_pa = _run(pa=True, **kw)
-        assert abs(r_fa.final_mass_u - r_pa.final_mass_u) < 1e-12
-        assert abs(r_fa.max_u - r_pa.max_u) < 1e-12
+        # PA's mass inverse is the reference's DGMassInverse local CG at
+        # abs_tol 1e-8 (remhos_ho.cpp:80) — FA vs PA agree to ~1e-8, same
+        # as the reference's own FA/PA golden rows
+        assert abs(r_fa.final_mass_u - r_pa.final_mass_u) < 1e-7
+        assert abs(r_fa.max_u - r_pa.max_u) < 1e-7
 
     def test_pa_resdist(self):
         kw = dict(mesh="periodic-square", problem=4, rs_levels=2, order=3,
