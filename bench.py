@@ -70,6 +70,11 @@ def main():
     jax.block_until_ready(S)
     wall = time.perf_counter() - t0
 
+    if os.environ.get("BENCH_PHASES"):
+        from remhos_tpu.utils.fom import measure_phases, print_fom_report
+        phases = measure_phases(adv, S[0], 0.1, dt)
+        print_fom_report(phases, ndofs, n_steps * 3)
+
     stages = 3  # RK3: FOM counts stages (remhos.cpp:1340-1347)
     fom = 1e-6 * ndofs * n_steps * stages / wall
     result = {

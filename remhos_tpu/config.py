@@ -34,6 +34,10 @@ class RunConfig:
     product_sync: bool = False       # -ps
     vis_steps: int = 100             # -vs
     n_shards: int = 1                # sharding over the TPU mesh element axis
+    checkpoint_path: str = ""        # checkpoint/resume (new vs reference)
+    checkpoint_steps: int = 0        # save every N steps (0 = off)
+    resume: bool = False
+    save: bool = False               # -save: write final mesh+solution
     dtype: str = "float64"
     verbose: bool = True
 

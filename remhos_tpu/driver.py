@@ -161,9 +161,23 @@ def run(cfg: RunConfig) -> RunResult:
     ti = 0
     ti_total = 0
     done = False
+    if cfg.resume and cfg.checkpoint_path:
+        import numpy as _np
+        ck = _np.load(cfg.checkpoint_path)
+        S = jnp.asarray(ck["S"])
+        t = float(ck["t"])
+        dt = float(ck["dt"])
+        ti = ti_total = int(ck["ti"])
+        if cfg.verbose:
+            print(f"Resumed from {cfg.checkpoint_path} at step {ti}, t={t:g}")
+        if cfg.n_shards > 1:
+            S = jax.device_put(S, jax.sharding.NamedSharding(
+                dev_mesh, jax.sharding.PartitionSpec(None, "shard")))
     steady = cfg.problem in (6, 7, 8)
     res_prev = S[0]
     residual = 0.0
+    u_max_glob = float(S[0].max())
+    u_min_glob = float(S[0].min())
     wall0 = time.perf_counter()
     while not done:
         dt_real = min(dt, t_final - t)
@@ -195,6 +209,22 @@ def run(cfg: RunConfig) -> RunResult:
                 S = S.at[0].set(res_prev)
             else:
                 res_prev = S[0]
+        if cfg.verify_bounds and cfg.problem % 10 not in (6, 7) and \
+                (cfg.lo != 0 or cfg.mono != 0):
+            # global monotonicity assertions (remhos.cpp:1219-1260)
+            u_max_new = float(S[0].max())
+            u_min_new = float(S[0].min())
+            if u_max_new > u_max_glob + 1e-10 or u_min_new < u_min_glob - 1e-10:
+                raise RuntimeError(
+                    f"Bounds violation at step {ti}: "
+                    f"[{u_min_glob}, {u_max_glob}] -> "
+                    f"[{u_min_new}, {u_max_new}]")
+            u_max_glob, u_min_glob = u_max_new, u_min_new
+        if cfg.checkpoint_steps and cfg.checkpoint_path and \
+                ti % cfg.checkpoint_steps == 0:
+            import numpy as _np
+            _np.savez(cfg.checkpoint_path, S=_np.asarray(S), t=t, dt=dt,
+                      ti=ti)
         if ti_total == cfg.max_tsteps:
             done = True
         if cfg.verbose and (done or ti % cfg.vis_steps == 0):
@@ -235,6 +265,15 @@ def run(cfg: RunConfig) -> RunResult:
             ex_q = prob.inflow_function(cfg.problem, vol["x_q"])
         wdet = jnp.asarray(disc.w_q)[None, :] * vol["detJ"]
         res.l1_error = float((wdet * jnp.abs(u_q - ex_q)).sum())
+
+    if cfg.save:
+        import numpy as _np
+        x_final = (x0_nodes + t * v_nodes) if exec_mode == 1 else x0_nodes
+        _np.savez("sltn_final.npz", u=_np.asarray(S[0]),
+                  x=_np.asarray(x_final), t=t,
+                  shape=_np.asarray(mesh.shape))
+        if cfg.verbose:
+            print("Saved final solution to sltn_final.npz")
 
     if cfg.verbose:
         print(f"Final mass u:  {mass_u:.10g}")

