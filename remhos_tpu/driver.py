@@ -97,7 +97,7 @@ def run(cfg: RunConfig) -> RunResult:
                         bounds_type=cfg.bounds_type,
                         dt_control=cfg.dt_control,
                         product_sync=cfg.product_sync,
-                        smth_ind=cfg.smth_ind)
+                        smth_ind=cfg.smth_ind, use_pallas=cfg.use_pallas)
 
     # inflow projection (remhos.cpp:626-636)
     inflow_vals = None

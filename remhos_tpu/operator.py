@@ -50,6 +50,7 @@ class SolverConfig:
     product_sync: bool = False
     smth_ind: int = 0
     pa: bool = False     # matrix-free (partial assembly) hot path
+    use_pallas: bool = False  # fused Pallas kernels (remap PA path, TPU)
 
     @property
     def exec_mode(self) -> int:
@@ -141,6 +142,18 @@ class Advection:
                     x.shape[0], nf, Qf, -1)
             sign = 1.0
 
+        if cfg.pa and cfg.use_pallas and cfg.exec_mode == 1:
+            # fused-Pallas remap path: J/adjJ/va never touch HBM; the
+            # convection action fuses with geometry per field in
+            # _ho_solution (ops/pallas_kernels.py)
+            from .ops import pallas_kernels as pk
+            vn = jnp.einsum("efqd,efqd->efq", v_fq, nor)
+            wvn = -(self.w_fq[None, None, :] * (-jnp.maximum(0.0, vn)))
+            wdet = pk.fused_wdet(x, self.disc)
+            ml = pam.lumped_mass_pa(wdet, self.Bu)
+            detJ = wdet / self.w_q[None, :]
+            return dict(detJ=detJ, wdet=wdet, wvn=wvn, ml=ml, xs=x,
+                        sub_w=sub_w)
         if cfg.pa:
             # matrix-free quadrature data only (the reference's -pa path:
             # remhos.cpp:681-694; per-stage remap recompute :1645-1676)
@@ -179,11 +192,19 @@ class Advection:
         cfg = self.cfg
         if cfg.pa and cfg.ho in (2, 3):
             u_nbr = self.gather_nbr(u)
-            Ku = pam.conv_action(u, geom["va"], self.Gu, self.Bu_w)
+            if "va" not in geom:
+                from .ops import pallas_kernels as pk
+                Ku, _ = pk.fused_geom_conv(geom["xs"], self.v_nodes, u,
+                                           self.disc, 1.0)
+            else:
+                Ku = pam.conv_action(u, geom["va"], self.Gu, self.Bu_w)
             contrib = pam.face_full_apply(u[:, self.bdr_dofs], u_nbr,
                                           self.Bface, geom["wvn"])
             Ku = asm.scatter_face_add(Ku, contrib, self.bdr_dofs)
             if cfg.ho == 3:
+                if "va" not in geom:
+                    from .ops import pallas_kernels as pk
+                    return pk.fused_gl_cg(Ku, geom["wdet"], self.disc)
                 return pam.mass_solve_gl(Ku, geom["wdet"], self.Bgl,
                                          self.A_gl2b,
                                          all_sum=self.all_sum_fn())
@@ -249,6 +270,16 @@ class Advection:
             sub_kw = dict(subcell=(cfg.lo == 4),
                           subcell_weights=geom.get("sub_w"),
                           sub2ind=jnp.asarray(self.disc.dofmaps.sub2ind))
+            if cfg.pa and "va" not in geom:
+                from .ops import pallas_kernels as pk
+                z, _ = pk.fused_geom_conv(geom["xs"], self.v_nodes, u,
+                                          self.disc, 1.0)
+                contrib = pam.face_lumped_apply(u[:, self.bdr_dofs], u_nbr,
+                                                self.Bface, geom["wvn"])
+                duf = asm.scatter_face_add(jnp.zeros_like(u), contrib,
+                                           self.bdr_dofs)
+                return lom.residual_distribution_core(u, z, duf, geom["ml"],
+                                                      **sub_kw)
             if cfg.pa:
                 z = pam.conv_action(u, geom["va"], self.Gu, self.Bu_w)
                 contrib = pam.face_lumped_apply(u[:, self.bdr_dofs], u_nbr,

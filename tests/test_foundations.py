@@ -139,3 +139,33 @@ def test_dg_transport_conservation():
     total = float(np.asarray(Ku).sum())
     scale = float(np.abs(np.asarray(Ku)).sum())
     assert abs(total) < 1e-12 * max(scale, 1.0)
+
+
+def test_pallas_kernels_interpret():
+    """Fused Pallas kernels == the XLA PA path (interpret mode on CPU)."""
+    import jax
+    from remhos_tpu.operator import Advection, SolverConfig
+    from remhos_tpu import pa as pam
+    from remhos_tpu.ops import pallas_kernels as pk
+
+    m = make_cartesian_mesh(3, (4, 4, 4), (0, 0, 0), (1, 1, 1),
+                            (False, False, False))
+    disc = build_discretization(m, p=3)
+    scfg = SolverConfig(problem=10, ho=3, lo=5, fct=2, pa=True)
+    x0 = jnp.asarray(m.x)
+    v = 0.1 * jnp.sin(x0)
+    adv = Advection(disc, scfg, x0, v, None)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((64, 64)))
+    t = 0.37
+    geom = adv.geometry(t)
+    Ku_ref = np.asarray(pam.conv_action(u, geom["va"], adv.Gu, adv.Bu_w))
+    Ku, wdet = pk.fused_geom_conv(x0 + t * v, v, u, disc, 1.0, block_e=64,
+                                  interpret=True)
+    assert np.abs(np.asarray(Ku) - Ku_ref).max() < 1e-14
+    assert np.abs(np.asarray(wdet) - np.asarray(geom["wdet"])).max() < 1e-14
+    wd2 = pk.fused_wdet(x0 + t * v, disc, block_e=64, interpret=True)
+    assert np.abs(np.asarray(wd2) - np.asarray(geom["wdet"])).max() < 1e-14
+    du = pk.fused_gl_cg(Ku, wdet, disc, interpret=True, block_e=64)
+    resid = pam.mass_action(du, geom["wdet"], adv.Bu) - Ku
+    assert float(jnp.abs(resid).max()) < 1e-7
