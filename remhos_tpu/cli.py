@@ -58,8 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("-chks", "--checkpoint-steps", type=int, default=0,
       dest="checkpoint_steps")
     a("-resume", "--resume", action="store_true", dest="resume")
+    a("-visit", "--visit-datafiles", action="store_true", dest="visit")
+    a("-no-visit", "--no-visit-datafiles", action="store_false", dest="visit")
     p.set_defaults(pa=False, product_sync=False, verify_bounds=False,
-                   vis=False, fp32=False, save=False, resume=False)
+                   vis=False, fp32=False, save=False, resume=False,
+                   visit=False)
     return p
 
 
@@ -87,7 +90,7 @@ def main(argv=None) -> int:
         n_shards=args.n_shards,
         checkpoint_path=args.checkpoint_path,
         checkpoint_steps=args.checkpoint_steps, resume=args.resume,
-        save=args.save,
+        save=args.save, visit=args.visit,
         dtype="float32" if args.fp32 else "float64")
     run(cfg)
     return 0

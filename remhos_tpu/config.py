@@ -38,6 +38,8 @@ class RunConfig:
     checkpoint_steps: int = 0        # save every N steps (0 = off)
     resume: bool = False
     save: bool = False               # -save: write final mesh+solution
+    visit: bool = False              # -visit: periodic solution snapshots
+    visit_prefix: str = "remhos"
     use_pallas: bool = False         # fused Pallas kernels (TPU remap PA)
     dtype: str = "float64"
     verbose: bool = True

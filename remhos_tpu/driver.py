@@ -230,6 +230,10 @@ def run(cfg: RunConfig) -> RunResult:
         if cfg.verbose and (done or ti % cfg.vis_steps == 0):
             print(f"time step: {ti}, time: {t:.6g}, dt: {dt:.6g}, "
                   f"residual: {residual:.6g}")
+        if cfg.visit and (done or ti % cfg.vis_steps == 0):
+            import numpy as _np
+            _np.savez(f"{cfg.visit_prefix}_{ti:06d}.npz",
+                      u=_np.asarray(S[0]), t=t, ti=ti)
     wall = time.perf_counter() - wall0
 
     # --- final mass / max (remhos.cpp:1382-1436) ---
@@ -252,6 +256,17 @@ def run(cfg: RunConfig) -> RunResult:
         res.max_s = float(s.max())
 
     # --- L1 error for the convergence problems (remhos.cpp:1438-1470) ---
+    if cfg.verbose:
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak:
+                # Umpire high-watermark report equivalent (remhos.cpp:1511-21)
+                print(f"Device memory high water mark: "
+                      f"{peak / 2**30:.3f} GB")
+        except Exception:
+            pass
+
     if cfg.problem in (4, 7):
         # quadrature-based L1 error against the exact solution
         from . import geometry as geo
@@ -274,6 +289,20 @@ def run(cfg: RunConfig) -> RunResult:
                   shape=_np.asarray(mesh.shape))
         if cfg.verbose:
             print("Saved final solution to sltn_final.npz")
+
+    if cfg.problem == 7 and cfg.verbose:
+        # append L1/L2/Linf errors like the reference (remhos.cpp:1452-1469)
+        from . import geometry as geo2
+        x = x0_nodes
+        vol2 = geo2.volume_geometry(x, adv.Bm, adv.Gm)
+        u_q2 = jnp.einsum("qj,ej->eq", adv.Bu, S[0])
+        ex_q2 = prob.inflow_function(cfg.problem, vol2["x_q"])
+        wdet2 = jnp.asarray(disc.w_q)[None, :] * vol2["detJ"]
+        e1 = float((wdet2 * jnp.abs(u_q2 - ex_q2)).sum())
+        e2 = float(jnp.sqrt((wdet2 * (u_q2 - ex_q2) ** 2).sum()))
+        einf = float(jnp.abs(u_q2 - ex_q2).max())
+        with open("errors.txt", "a") as fh:
+            fh.write(f"{e1:.12g} {e2:.12g} {einf:.12g}\n")
 
     if cfg.verbose:
         print(f"Final mass u:  {mass_u:.10g}")

@@ -276,3 +276,34 @@ class TestCLIAndExtras:
                  dt=0.005, t_final=0.03, mono=2, ho=0, lo=0, fct=0)
         assert r.mass_loss_u < 1e-11
         assert r.max_u <= 1.0 + 1e-9
+
+
+class TestFloat32Mode:
+    """The f32 production path preserves the scheme invariants: bounds by
+    construction, conservation to f32 round-off."""
+
+    def test_f32_bounds_and_conservation(self):
+        import jax
+        jax.config.update("jax_enable_x64", False)
+        try:
+            r = _run(mesh="inline-quad", problem=14, rs_levels=2, order=3,
+                     dt=0.0015, t_final=0.75, max_tsteps=30,
+                     ho=3, lo=5, fct=2, pa=True)
+            assert r.max_u <= 1.0 + 1e-5
+            assert r.mass_loss_u < 5e-6 * max(abs(r.final_mass_u), 1.0)
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+
+class TestShardedPA:
+    def test_sharded_pa_equals_single(self):
+        import jax
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        kw = dict(mesh="cube01_hex", problem=10, rs_levels=1, order=2,
+                  dt=0.02, t_final=0.7, max_tsteps=5, ho=3, lo=5, fct=2,
+                  pa=True, verbose=False)
+        r1 = _run(**kw)
+        r4 = _run(n_shards=4, **kw)
+        assert abs(r1.final_mass_u - r4.final_mass_u) < 1e-12
+        assert abs(r1.max_u - r4.max_u) < 1e-12
