@@ -77,7 +77,9 @@ def gather_nbr_face(u, nbr_elem, nbr_dof_local, bdr_value=None, bdr_dofs=None):
     inflow_gf(dofInd) convention in remhos_tools.cpp:891), else 0.
     """
     safe = jnp.maximum(nbr_elem, 0)               # [E,nf]
-    vals = u[safe[:, :, None], nbr_dof_local[None, :, :]]
+    if nbr_dof_local.ndim == 2:                   # shared table (structured)
+        nbr_dof_local = nbr_dof_local[None, :, :]
+    vals = u[safe[:, :, None], nbr_dof_local]
     mask = (nbr_elem >= 0)[:, :, None]
     if bdr_value is None:
         return jnp.where(mask, vals, 0.0)

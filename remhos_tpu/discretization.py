@@ -71,9 +71,13 @@ class Discretization:
         return self.mesh.num_elements
 
 
-def build_discretization(mesh: StructuredMesh, p: int) -> Discretization:
+def build_discretization(mesh, p: int) -> Discretization:
     dim, mo = mesh.dim, mesh.mesh_order
-    dofmaps = build_dofmaps(mesh, p)
+    if getattr(mesh, "structured", True):
+        dofmaps = build_dofmaps(mesh, p)
+    else:
+        from .umesh import build_general_dofmaps
+        dofmaps = build_general_dofmaps(mesh, p)
 
     # ---- volume rule ----
     vol_order = 2 * p + mo * dim - 1

@@ -63,6 +63,8 @@ class StructuredMesh:
     nbr_elem: np.ndarray            # [E, nfaces] neighbor element ids, -1 = bdr
     breaks: tuple = None            # per-axis element boundary coordinates
 
+    structured = True
+
     @property
     def num_elements(self) -> int:
         return int(np.prod(self.shape))
@@ -215,17 +217,29 @@ _REGISTRY = {
 }
 
 
-def load_mesh(name: str, rs_levels: int = 0, mesh_order: int = 2) -> StructuredMesh:
-    """Named mesh + serial refinements (mirrors remhos.cpp:448-449)."""
+def load_mesh(name: str, rs_levels: int = 0, mesh_order: int = 2):
+    """Named mesh + serial refinements (mirrors remhos.cpp:448-449).
+    Unknown names fall through to the general MFEM .mesh loader (2D quads)
+    — searched as a path, then under $REMHOS_REF_DATA."""
     key = name
     for suffix in (".mesh",):
         if key.endswith(suffix):
             key = key[: -len(suffix)]
     key = key.split("/")[-1]
     if key not in _REGISTRY:
+        import os
+
+        from .umesh import load_general_mesh
+        candidates = [name]
+        data_dir = os.environ.get("REMHOS_REF_DATA",
+                                  "/root/reference/data")
+        candidates.append(os.path.join(data_dir, key + ".mesh"))
+        for c in candidates:
+            if os.path.exists(c):
+                return load_general_mesh(c, rs_levels, mesh_order)
         raise ValueError(
             f"unknown/unsupported mesh '{name}' (structured meshes: "
-            f"{sorted(_REGISTRY)})")
+            f"{sorted(_REGISTRY)}; general 2D-quad .mesh files by path)")
     spec = _REGISTRY[key]
     m = make_mesh_from_breaks(spec["dim"], spec["breaks"], spec["periodic"],
                               mesh_order)

@@ -93,12 +93,18 @@ class Advection:
         self.Bu_w = self.Bu * self.w_q[:, None]
         self.bb_min = disc.mesh.bb_min
         self.bb_max = disc.mesh.bb_max
-        # roll-based structured neighbor gather (fast path); the generic
-        # index-table gather stays available for tests via assembly.py
+        # roll-based structured neighbor gather (fast path); general
+        # meshes use the index-table gather from assembly.py
         mesh = disc.mesh
-        self.gather_nbr = partial(strm.gather_nbr_structured,
-                                  shape=mesh.shape, periodic=mesh.periodic,
-                                  nbr_dof_local=dm.nbr_dof_local)
+        if getattr(mesh, "structured", True):
+            self.gather_nbr = partial(strm.gather_nbr_structured,
+                                      shape=mesh.shape,
+                                      periodic=mesh.periodic,
+                                      nbr_dof_local=dm.nbr_dof_local)
+        else:
+            self.gather_nbr = partial(asm.gather_nbr_face,
+                                      nbr_elem=self.nbr_elem,
+                                      nbr_dof_local=self.nbr_dof_local)
         if cfg.lo == 4 or cfg.mono == 2:
             from . import subcell as subm
             self._subcell_nodes = subm.subcell_node_setup(self)
@@ -235,8 +241,8 @@ class Advection:
     def compute_bounds(self, el_min, el_max, active_el=None):
         """Per-dof bounds; overridden by the sharded operator to include
         cross-shard halo contributions."""
-        if self.cfg.bounds_type == 0:
-            mesh = self.disc.mesh
+        mesh = self.disc.mesh
+        if self.cfg.bounds_type == 0 and getattr(mesh, "structured", True):
             return strm.overlap_bounds_structured(
                 el_min, el_max, mesh.shape, mesh.periodic, self.disc.p,
                 active_el=active_el)

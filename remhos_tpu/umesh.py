@@ -1,0 +1,279 @@
+"""General (unstructured) quad/hex meshes with gather-based face topology.
+
+Extends the structured core to arbitrary conforming quad meshes (and
+same-orientation hex meshes) — the reference's periodic-hexagon.mesh and
+unstr.mesh scenarios (remhos.cpp:448). All compute kernels are already
+general in the per-element node coordinates ``x[E, nm, dim]``; this module
+only builds the *topology* tables:
+
+- neighbor element/face pairs by matching face vertex sets,
+- per-(element, face) neighbor dof maps with tangential orientation
+  (the 2D reversed-traversal rule of FillNeighborDofs,
+  remhos_tools.cpp:590-625),
+- global Gauss-Lobatto CG node ids for the overlap bounds
+  (vertex / oriented-edge / interior classification),
+- uniform refinement (topology via shared edge-midpoint ids, geometry via
+  per-element corner interpolation so periodic wrap is handled).
+
+MFEM quad vertex order (v0,v1,v2,v3) is counterclockwise; the tensor
+(lexicographic) corner order used everywhere here is [v0, v1, v3, v2].
+Sharding of unstructured meshes is deferred (single-chip path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .basis import gauss_lobatto
+
+# faces as ordered corner pairs in the direction of increasing tangential
+# coordinate, in LEX corner numbering (c0=(0,0), c1=(1,0), c2=(0,1), c3=(1,1))
+_QUAD_FACES_LEX = ((0, 1), (1, 3), (2, 3), (0, 2))  # y-,x+,y+,x- (mesh.FACES_2D)
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneralMesh:
+    dim: int
+    mesh_order: int
+    x: np.ndarray            # [E, nm, dim] geometry nodes (GLL tensor)
+    corners: np.ndarray      # [E, 2^dim] vertex ids, LEX corner order
+    corner_pos: np.ndarray   # [E, 2^dim, dim] corner positions (per elem)
+    nbr_elem: np.ndarray     # [E, nf]
+    nbr_face: np.ndarray     # [E, nf] neighbor's local face (-1 = boundary)
+    nbr_flip: np.ndarray     # [E, nf] tangential order flipped? (2D bool)
+    lo: tuple
+    hi: tuple
+
+    structured = False
+    periodic = (False, False)   # unused; boundary handling is per-face
+
+    @property
+    def num_elements(self) -> int:
+        return self.x.shape[0]
+
+    @property
+    def nfaces(self) -> int:
+        return 2 * self.dim
+
+    @property
+    def bb_min(self):
+        return np.asarray(self.lo)
+
+    @property
+    def bb_max(self):
+        return np.asarray(self.hi)
+
+    def element_sizes(self) -> np.ndarray:
+        # sqrt of the bilinear cell area at the center (GetElementSize type 0)
+        c = self.corner_pos
+        if self.dim != 2:
+            raise NotImplementedError
+        # Jacobian at center from corner positions (lex corners)
+        dx_dxi = 0.5 * ((c[:, 1] + c[:, 3]) - (c[:, 0] + c[:, 2]))
+        dx_deta = 0.5 * ((c[:, 2] + c[:, 3]) - (c[:, 0] + c[:, 1]))
+        det = (dx_dxi[:, 0] * dx_deta[:, 1] - dx_dxi[:, 1] * dx_deta[:, 0])
+        return np.sqrt(np.abs(det))
+
+    def element_centers(self) -> np.ndarray:
+        return self.corner_pos.mean(axis=1)
+
+    def refine(self, levels: int = 1) -> "GeneralMesh":
+        m = self
+        for _ in range(levels):
+            m = _refine_quad(m)
+        return m
+
+
+def from_arrays(corners, corner_pos, mesh_order=2) -> GeneralMesh:
+    """Build a GeneralMesh from lex-ordered corner ids + positions (2D)."""
+    E = corners.shape[0]
+    # face -> (ordered corner pair)
+    nbr_elem = np.full((E, 4), -1, np.int32)
+    nbr_face = np.full((E, 4), -1, np.int32)
+    nbr_flip = np.zeros((E, 4), bool)
+    face_map = {}
+    for e in range(E):
+        for f, (a, b) in enumerate(_QUAD_FACES_LEX):
+            va, vb = int(corners[e, a]), int(corners[e, b])
+            key = (min(va, vb), max(va, vb))
+            if key in face_map:
+                e2, f2, (va2, vb2) = face_map.pop(key)
+                nbr_elem[e, f] = e2
+                nbr_face[e, f] = f2
+                nbr_elem[e2, f2] = e
+                nbr_face[e2, f2] = f
+                flip = (va, vb) == (va2, vb2)  # same direction => flip=False?
+                # matching tangential coordinates: if the two elements
+                # traverse the shared edge in OPPOSITE directions, dof j
+                # matches neighbor dof (fd-1-j); in the SAME direction, j->j.
+                same_dir = (va == va2 and vb == vb2)
+                nbr_flip[e, f] = not same_dir
+                nbr_flip[e2, f2] = not same_dir
+            else:
+                face_map[key] = (e, f, (va, vb))
+    # geometry nodes: bilinear corner interpolation at GLL tensor points
+    gll = gauss_lobatto(mesh_order + 1)
+    xi, eta = np.meshgrid(gll, gll, indexing="ij")
+    xi = xi.ravel(order="F")
+    eta = eta.ravel(order="F")
+    w = np.stack([(1 - xi) * (1 - eta), xi * (1 - eta),
+                  (1 - xi) * eta, xi * eta], axis=-1)   # [nm, 4] lex corners
+    x = np.einsum("nc,ecd->end", w, corner_pos)
+    lo = tuple(corner_pos.reshape(-1, 2).min(axis=0))
+    hi = tuple(corner_pos.reshape(-1, 2).max(axis=0))
+    return GeneralMesh(2, mesh_order, x, corners.astype(np.int64),
+                       corner_pos, nbr_elem, nbr_face, nbr_flip, lo, hi)
+
+
+def _refine_quad(m: GeneralMesh) -> GeneralMesh:
+    """Uniform refinement: topology via shared edge-midpoint ids; geometry
+    via per-element corner interpolation (periodic-safe)."""
+    E = m.num_elements
+    corners = m.corners
+    pos = m.corner_pos
+    next_vid = int(corners.max()) + 1
+    edge_mid = {}
+
+    def mid_id(va, vb):
+        nonlocal next_vid
+        key = (min(va, vb), max(va, vb))
+        if key not in edge_mid:
+            edge_mid[key] = next_vid
+            next_vid += 1
+        return edge_mid[key]
+
+    new_corners = []
+    new_pos = []
+    # lex corners c0..c3; children in the 2x2 lex layout
+    for e in range(E):
+        c = [int(v) for v in corners[e]]
+        p = pos[e]
+        m01 = mid_id(c[0], c[1])
+        m23 = mid_id(c[2], c[3])
+        m02 = mid_id(c[0], c[2])
+        m13 = mid_id(c[1], c[3])
+        ctr = next_vid
+        next_vid += 1
+        p01 = 0.5 * (p[0] + p[1])
+        p23 = 0.5 * (p[2] + p[3])
+        p02 = 0.5 * (p[0] + p[2])
+        p13 = 0.5 * (p[1] + p[3])
+        pc = 0.25 * (p[0] + p[1] + p[2] + p[3])
+        kids = [
+            ([c[0], m01, m02, ctr], [p[0], p01, p02, pc]),
+            ([m01, c[1], ctr, m13], [p01, p[1], pc, p13]),
+            ([m02, ctr, c[2], m23], [p02, pc, p[2], p23]),
+            ([ctr, m13, m23, c[3]], [pc, p13, p23, p[3]]),
+        ]
+        for kc, kp in kids:
+            new_corners.append(kc)
+            new_pos.append(kp)
+    return from_arrays(np.asarray(new_corners, np.int64),
+                       np.asarray(new_pos, np.float64), m.mesh_order)
+
+
+def load_general_mesh(path: str, rs_levels: int = 0,
+                      mesh_order: int = 2) -> GeneralMesh:
+    """Load an MFEM .mesh file (2D quads) through the native parser."""
+    from .native import load_mfem_mesh
+
+    parsed = load_mfem_mesh(path)
+    if parsed is None:
+        raise RuntimeError("native mesh parser unavailable")
+    if parsed["dim"] != 2:
+        raise NotImplementedError("general meshes: 2D quads only (round 1)")
+    ev = parsed["elem_verts"]                   # MFEM ccw (v0,v1,v2,v3)
+    corners = ev[:, [0, 1, 3, 2]]               # -> lex corner order
+    if "l2_nodes" in parsed:
+        # per-element P1 nodes, lex order == our corner order
+        assert parsed["l2_order"] == 1
+        corner_pos = parsed["l2_nodes"]
+    else:
+        corner_pos = parsed["verts"][corners]
+    m = from_arrays(np.asarray(corners, np.int64),
+                    np.asarray(corner_pos, np.float64), mesh_order)
+    return m.refine(rs_levels)
+
+
+def build_general_dofmaps(mesh: GeneralMesh, p: int):
+    """DofMaps for a general 2D quad mesh: per-(e,f) neighbor dof tables
+    and global GLL CG node ids (vertex / oriented edge / interior)."""
+    from .dofmaps import DofMaps, face_dof_table, _lex_multi_index
+
+    dim = 2
+    n1 = p + 1
+    nd = n1 * n1
+    fd = n1
+    bdr = face_dof_table(p, dim)                # [4, fd]
+
+    E = mesh.num_elements
+    # neighbor dof table [E, nf, fd]
+    nbr_dof = np.zeros((E, 4, fd), np.int32)
+    for e in range(E):
+        for f in range(4):
+            f2 = mesh.nbr_face[e, f]
+            if f2 < 0:
+                nbr_dof[e, f] = bdr[f]          # unused (boundary)
+                continue
+            row = bdr[f2]
+            if mesh.nbr_flip[e, f]:
+                row = row[::-1]
+            nbr_dof[e, f] = row
+
+    # CG (GLL) global ids
+    q = max(p, 1)
+    nq1 = q + 1
+    midx = _lex_multi_index(nq1, dim)           # [ndb, 2]
+    ndb = nq1 * nq1
+    cg_idx = np.zeros((E, ndb), np.int32)
+    vert_node = {}
+    edge_node = {}
+    counter = 0
+
+    def vid_node(v):
+        nonlocal counter
+        if v not in vert_node:
+            vert_node[v] = counter
+            counter += 1
+        return vert_node[v]
+
+    def eid_node(va, vb, k):
+        """k-th interior GLL node along the edge, canonical min->max dir."""
+        nonlocal counter
+        key = (min(va, vb), max(va, vb))
+        if key not in edge_node:
+            edge_node[key] = counter
+            counter += q - 1
+        base = edge_node[key]
+        kk = k if va < vb else (q - 2 - k)      # canonical orientation
+        return base + kk
+
+    corner_of = {(0, 0): 0, (q, 0): 1, (0, q): 2, (q, q): 3}
+    for e in range(E):
+        c = mesh.corners[e]
+        for j in range(ndb):
+            i0, i1 = int(midx[j, 0]), int(midx[j, 1])
+            onx = i0 in (0, q)
+            ony = i1 in (0, q)
+            if onx and ony:
+                cg_idx[e, j] = vid_node(int(c[corner_of[(i0, i1)]]))
+            elif ony:   # on a y-edge (bottom i1=0 / top i1=q), interior in x
+                a, b = _QUAD_FACES_LEX[0 if i1 == 0 else 2]
+                cg_idx[e, j] = eid_node(int(c[a]), int(c[b]), i0 - 1)
+            elif onx:   # on an x-edge
+                a, b = _QUAD_FACES_LEX[3 if i0 == 0 else 1]
+                cg_idx[e, j] = eid_node(int(c[a]), int(c[b]), i1 - 1)
+            else:
+                cg_idx[e, j] = counter
+                counter += 1
+
+    sub_idx = _lex_multi_index(p, dim) if p >= 1 else np.zeros((1, 2), int)
+    corner = _lex_multi_index(2, dim)
+    strides = n1 ** np.arange(dim)
+    sub2ind = (((sub_idx[:, None, :] + corner[None, :, :]) * strides)
+               .sum(-1).astype(np.int32))
+
+    return DofMaps(p, dim, nd, fd, 4, bdr, mesh.nbr_elem, nbr_dof,
+                   cg_idx, counter, sub2ind)

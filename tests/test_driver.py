@@ -307,3 +307,25 @@ class TestShardedPA:
         r4 = _run(n_shards=4, **kw)
         assert abs(r1.final_mass_u - r4.final_mass_u) < 1e-12
         assert abs(r1.max_u - r4.max_u) < 1e-12
+
+
+class TestUnstructured:
+    """General (gather-based) 2D quad meshes: the periodic-hexagon scenario."""
+
+    def test_hexagon_conservation_bounds(self):
+        import os
+        if not os.path.exists("/root/reference/data/periodic-hexagon.mesh"):
+            pytest.skip("reference data not available")
+        r = _run(mesh="periodic-hexagon", problem=0, rs_levels=2, dt=0.005,
+                 t_final=0.05, ho=3, lo=1, fct=1)
+        assert r.mass_loss_u < 1e-13
+        assert r.max_u <= 1.0 + 1e-10
+
+    def test_hexagon_pa(self):
+        import os
+        if not os.path.exists("/root/reference/data/periodic-hexagon.mesh"):
+            pytest.skip("reference data not available")
+        r = _run(mesh="periodic-hexagon", problem=0, rs_levels=2, dt=0.005,
+                 t_final=0.05, ho=2, lo=3, fct=2, pa=True)
+        assert r.mass_loss_u < 1e-13
+        assert r.max_u <= 1.0 + 1e-10
