@@ -42,6 +42,19 @@ def q1_center_grads(dim: int) -> np.ndarray:
 def boundary_node_mask(mesh, ref_nodes_u) -> np.ndarray:
     """[E, nd] True where the (uniform) node lies on the physical boundary
     (the reference zeroes the subcell velocity there, remhos.cpp:841-852)."""
+    if not getattr(mesh, "structured", True):
+        # general mesh: a node is on the boundary iff it lies on a face
+        # with no neighbor
+        from .dofmaps import face_dof_table
+        E = mesh.num_elements
+        nd = ref_nodes_u.shape[0]
+        p = int(round(nd ** (1.0 / mesh.dim))) - 1
+        bdr = face_dof_table(p, mesh.dim)
+        mask = np.zeros((E, nd), dtype=bool)
+        for f in range(mesh.nfaces):
+            on_bdr = mesh.nbr_elem[:, f] < 0
+            mask[np.ix_(on_bdr, bdr[f])] = True
+        return mask
     dim = mesh.dim
     E = mesh.num_elements
     nd = ref_nodes_u.shape[0]
