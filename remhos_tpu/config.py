@@ -34,6 +34,7 @@ class RunConfig:
     product_sync: bool = False       # -ps
     vis_steps: int = 100             # -vs
     n_shards: int = 1                # sharding over the TPU mesh element axis
+    shard_grid: tuple = None         # k-D device mesh over the last k axes
     checkpoint_path: str = ""        # checkpoint/resume (new vs reference)
     checkpoint_steps: int = 0        # save every N steps (0 = off)
     resume: bool = False

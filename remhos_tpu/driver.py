@@ -135,16 +135,24 @@ def run(cfg: RunConfig) -> RunResult:
     mass0_us = float((masses * S[1]).sum()) if cfg.product_sync else 0.0
 
     # --- stepper ---
-    if cfg.n_shards > 1:
+    shard_grid = cfg.shard_grid or ((cfg.n_shards,) if cfg.n_shards > 1
+                                    else None)
+    if shard_grid is not None:
         from .parallel.sharded import make_sharded_step, shard_arrays
-        dev_mesh, sharded_step = make_sharded_step(
-            mesh, scfg, cfg.order, cfg.n_shards, cfg.ode_solver)
+        dev_mesh, sharded_step, perm = make_sharded_step(
+            mesh, scfg, cfg.order, shard_grid, cfg.ode_solver)
         v_arr = (v_nodes if v_nodes is not None
                  else jnp.zeros_like(x0_nodes))
         infl_arr = (inflow_vals if inflow_vals is not None
                     else jnp.zeros_like(S[0]))
-        S, x0_sh, v_sh, infl_sh = shard_arrays(dev_mesh, "shard", S,
-                                               x0_nodes, v_arr, infl_arr)
+        S, x0_sh, v_sh, infl_sh = shard_arrays(dev_mesh, dev_mesh.axis_names,
+                                               S, x0_nodes, v_arr, infl_arr,
+                                               perm=perm)
+        # element arrays are now in shard-block-major order; keep masses
+        # aligned and remember how to undo the permutation for reporting
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm))
+        masses = masses[jnp.asarray(perm)]
 
         def step(Sv, t, dt):
             return sharded_step(Sv, t, dt, x0_sh, v_sh, infl_sh)
@@ -157,6 +165,8 @@ def run(cfg: RunConfig) -> RunResult:
                                               cfg.ode_solver))
 
     # --- time loop (remhos.cpp:1146-1330) ---
+    if shard_grid is not None:
+        res_prev = S[0]          # re-aligned to the permuted order
     t = 0.0
     ti = 0
     ti_total = 0
@@ -170,9 +180,10 @@ def run(cfg: RunConfig) -> RunResult:
         ti = ti_total = int(ck["ti"])
         if cfg.verbose:
             print(f"Resumed from {cfg.checkpoint_path} at step {ti}, t={t:g}")
-        if cfg.n_shards > 1:
+        if shard_grid is not None:
             S = jax.device_put(S, jax.sharding.NamedSharding(
-                dev_mesh, jax.sharding.PartitionSpec(None, "shard")))
+                dev_mesh,
+                jax.sharding.PartitionSpec(None, dev_mesh.axis_names)))
     steady = cfg.problem in (6, 7, 8)
     res_prev = S[0]
     residual = 0.0
@@ -235,6 +246,10 @@ def run(cfg: RunConfig) -> RunResult:
             _np.savez(f"{cfg.visit_prefix}_{ti:06d}.npz",
                       u=_np.asarray(S[0]), t=t, ti=ti)
     wall = time.perf_counter() - wall0
+    if shard_grid is not None:
+        # back to the global element order for reporting / output
+        S = S[:, jnp.asarray(inv_perm)]
+        masses = masses[jnp.asarray(inv_perm)]
 
     # --- final mass / max (remhos.cpp:1382-1436) ---
     if exec_mode == 1:

@@ -1,24 +1,26 @@
 """Element-sharded advection operator: shard_map + ppermute halos.
 
-Each device owns a contiguous block of elements along the mesh's LAST axis
-(the structured-grid analog of the reference's METIS domain decomposition,
-remhos.cpp:459-463). Inside shard_map, the shard is itself a structured
-mesh whose last axis is non-periodic; the two cross-shard face layers are
-patched from halo slabs exchanged with jax.lax.ppermute:
+Elements are block-decomposed over the LAST k mesh axes onto a k-D device
+mesh (the structured-grid analog of the reference's METIS domain
+decomposition, remhos.cpp:459-463; k=1 or 2 today, same pattern extends).
+Inside shard_map each shard is itself a structured mesh whose sharded axes
+are locally non-periodic; the cross-shard face layers are patched from
+halo slabs exchanged with jax.lax.ppermute per device axis:
 
 - face-neighbor field values          (ExchangeFaceNbrData equivalent)
-- element extrema for bounds stencils (GroupCommunicator min/max equivalent,
-  remhos_tools.cpp:437-466)
+- partially-reduced bound slabs       (GroupCommunicator min/max equivalent;
+  exchanging after each separable pass carries the diagonal/corner
+  contributions without explicit corner messages)
 - global scalars via psum/pmin        (MPI_Allreduce equivalent)
 
-Sharded and unsharded runs produce identical results to round-off: the
-halo patching reproduces the exact single-chip gather, and all scatters
-are deterministic min/max/add.
+For k >= 2 the flat element order is permuted to shard-block-major so each
+device owns a contiguous range (see block_permutation); sums/maxima are
+permutation-invariant, so the driver only unpermutes for file output.
+
+Sharded and unsharded runs produce identical results to round-off.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -26,171 +28,241 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import assembly as asm
-from .. import bounds as bnd
-from .. import structured as strm
 from .. import steppers
+from .. import structured as strm
 from ..discretization import build_discretization
-from ..mesh import StructuredMesh, faces_for_dim, make_cartesian_mesh
+from ..mesh import StructuredMesh, faces_for_dim, make_mesh_from_breaks
 from ..operator import Advection, SolverConfig
 from . import halo
 
 
-def _last_axis_faces(dim: int):
-    faces = faces_for_dim(dim)
-    lo = faces.index((dim - 1, 0))
-    hi = faces.index((dim - 1, 1))
-    return lo, hi
+def shard_axes_spec(dim: int, shard_grid):
+    """[(mesh_axis, device_axis_name, n)] for the last k mesh axes; device
+    axes ordered outermost (last mesh axis) first."""
+    k = len(shard_grid)
+    spec = []
+    for i, n in enumerate(shard_grid):
+        mesh_axis = dim - k + i
+        spec.append((mesh_axis, f"sh{mesh_axis}", int(n)))
+    return list(reversed(spec))     # outer (last mesh axis) first
 
 
-def local_mesh_of(mesh: StructuredMesh, n_shards: int) -> StructuredMesh:
-    """Static description of one shard's block (geometry coords unused at
-    runtime — the real node positions arrive as sharded runtime arrays)."""
-    assert mesh.shape[-1] % n_shards == 0, (
-        f"last mesh axis {mesh.shape[-1]} not divisible by {n_shards} shards")
-    lshape = mesh.shape[:-1] + (mesh.shape[-1] // n_shards,)
-    lper = mesh.periodic[:-1] + (False,)   # cross faces go through halos
-    return make_cartesian_mesh(mesh.dim, lshape, mesh.lo, mesh.hi, lper,
-                               mesh.mesh_order)
+def local_mesh_of(mesh: StructuredMesh, shard_grid) -> StructuredMesh:
+    dim = mesh.dim
+    k = len(shard_grid)
+    lbreaks = []
+    lper = []
+    for a in range(dim):
+        if a < dim - k:
+            lbreaks.append(mesh.breaks[a])
+            lper.append(mesh.periodic[a])
+        else:
+            n = shard_grid[a - (dim - k)]
+            cnt = mesh.shape[a]
+            assert cnt % n == 0, (
+                f"mesh axis {a} ({cnt}) not divisible by {n} shards")
+            lbreaks.append(mesh.breaks[a][: cnt // n + 1])
+            lper.append(False)      # cross faces go through halos
+    return make_mesh_from_breaks(dim, tuple(lbreaks), tuple(lper),
+                                 mesh.mesh_order)
+
+
+def block_permutation(shape, shard_grid):
+    """perm[new_flat] = old_flat element index, shard-block-major (outer
+    device axis = last mesh axis). Identity for k == 1."""
+    dim = len(shape)
+    k = len(shard_grid)
+    if k == 1:
+        return np.arange(int(np.prod(shape)))
+    E = int(np.prod(shape))
+    old = np.arange(E).reshape(tuple(reversed(shape)))   # [z, y, x]
+    blocks = []
+    # device-major order: outer = last mesh axis blocks, then next, ...
+    loc = [shape[dim - k + i] // shard_grid[i] for i in range(k)]
+    if k != 2:
+        raise NotImplementedError("shard grids of rank 1 or 2")
+    sy, sz = shard_grid            # shard_grid aligned to axes (y, z)
+    ny_loc, nz_loc = loc
+    for bz in range(sz):
+        for by in range(sy):
+            blk = old[bz * nz_loc:(bz + 1) * nz_loc,
+                      by * ny_loc:(by + 1) * ny_loc]
+            blocks.append(blk.reshape(-1))
+    return np.concatenate(blocks)
 
 
 class ShardedAdvection(Advection):
-    """Advection over one shard, with halo-aware face gather and bounds."""
+    """Advection over one shard, halo-aware along all sharded axes."""
 
     def __init__(self, disc, cfg: SolverConfig, x0_nodes, v_nodes, inflow,
-                 axis_name: str, n_shards: int, periodic_last: bool,
-                 bb_min, bb_max):
+                 axes_spec, periodic_global, bb_min, bb_max):
         super().__init__(disc, cfg, x0_nodes, v_nodes, inflow)
-        self.axis_name = axis_name
-        self.n_shards = n_shards
-        self.periodic_last = periodic_last
-        self.bb_min = bb_min            # global box (local mesh's box is wrong)
+        self.axes_spec = axes_spec          # [(mesh_axis, name, n)], outer 1st
+        self.periodic_global = periodic_global
+        self.bb_min = bb_min                # global box
         self.bb_max = bb_max
         dim = disc.dim
-        self.face_lo, self.face_hi = _last_axis_faces(dim)
-        self.nslab = int(np.prod(disc.mesh.shape[:-1]))
-        # CG plane size for overlap bounds (nodes with last-axis index 0/max
-        # are the first/last (q+1)^(dim-1)-sized contiguous stride groups)
-        q = max(disc.p, 1)
-        gshape = tuple((q * s) if per else (q * s + 1)
-                       for s, per in zip(disc.mesh.shape, disc.mesh.periodic))
-        self.n_cg_plane = int(np.prod(gshape[:-1]))
+        faces = faces_for_dim(dim)
+        self._face_of = {(a, s): f for f, (a, s) in enumerate(faces)}
+        self._names = tuple(name for _, name, _ in axes_spec)
         self.gather_nbr = self._gather_nbr_halo
 
-    # -- halo face gather (ExchangeFaceNbrData equivalent) ----------------
+    # -- per-axis slab exchange -------------------------------------------
+    def _exchange(self, name, n, bot, top):
+        """each shard receives (prev's top, next's bot) along device axis."""
+        return halo.exchange_slabs(top, bot, name, n)
+
+    def _edges(self, name, n, periodic):
+        return halo.edge_masks(name, n, periodic)
+
+    # -- halo face gather (ExchangeFaceNbrData equivalent) -----------------
     def _gather_nbr_halo(self, u, bdr_value=None):
-        ns = self.nslab
-        f_lo, f_hi = self.face_lo, self.face_hi
-        # what the NEXT shard needs at its low face == my top face-dof values
-        send_up = u[-ns:][:, self.bdr_dofs[f_hi]]          # [ns, fd]
-        send_dn = u[:ns][:, self.bdr_dofs[f_lo]]
-        from_prev, from_next = halo.exchange_slabs(send_up, send_dn,
-                                                   self.axis_name,
-                                                   self.n_shards)
-        has_prev, has_next = halo.edge_masks(self.axis_name, self.n_shards,
-                                             self.periodic_last)
-        # physical-edge fallback: inflow values or zero
-        if bdr_value is not None:
-            edge_lo = bdr_value[:ns, f_lo]
-            edge_hi = bdr_value[-ns:, f_hi]
-        else:
-            edge_lo = jnp.zeros_like(send_dn)
-            edge_hi = jnp.zeros_like(send_up)
-        slab_lo = jnp.where(has_prev, from_prev, edge_lo)
-        slab_hi = jnp.where(has_next, from_next, edge_hi)
         mesh = self.disc.mesh
+        dim = mesh.dim
+        grid_shape = tuple(reversed(mesh.shape))
+        ug = u.reshape(grid_shape + (u.shape[1],))
+        halos = {}
+        for mesh_axis, name, n in self.axes_spec:
+            gdim = dim - 1 - mesh_axis
+            f_lo = self._face_of[(mesh_axis, 0)]
+            f_hi = self._face_of[(mesh_axis, 1)]
+            ein_lo = strm._edge_index(ug.ndim, gdim, 0)
+            ein_hi = strm._edge_index(ug.ndim, gdim, 1)
+            send_dn = ug[..., self.bdr_dofs[f_lo]][ein_lo]
+            send_up = ug[..., self.bdr_dofs[f_hi]][ein_hi]
+            from_prev, from_next = self._exchange(name, n, send_dn, send_up)
+            has_prev, has_next = self._edges(
+                name, n, self.periodic_global[mesh_axis])
+            if bdr_value is not None:
+                bv = bdr_value.reshape(grid_shape + bdr_value.shape[1:])
+                edge_lo = bv[..., f_lo, :][ein_lo]
+                edge_hi = bv[..., f_hi, :][ein_hi]
+            else:
+                edge_lo = jnp.zeros_like(send_dn)
+                edge_hi = jnp.zeros_like(send_up)
+            halos[f_lo] = jnp.where(has_prev, from_prev, edge_lo)
+            halos[f_hi] = jnp.where(has_next, from_next, edge_hi)
         return strm.gather_nbr_structured(
             u, mesh.shape, mesh.periodic, self.nbr_dof_local,
-            bdr_value=bdr_value, halo={f_lo: slab_lo, f_hi: slab_hi})
+            bdr_value=bdr_value, halo=halos)
 
-    # -- bounds with halo extrema (GroupCommunicator equivalent) ----------
+    # -- bounds with halo extrema (GroupCommunicator equivalent) -----------
     def compute_bounds(self, el_min, el_max, active_el=None):
-        ns = self.nslab
+        mesh = self.disc.mesh
+        if self.cfg.bounds_type == 1:
+            return self._sparsity_bounds_halo(el_min, el_max, active_el)
+
+        axis_exchanges = {}
+        for mesh_axis, name, n in self.axes_spec:
+            def make_fn(name=name, n=n):
+                return lambda bot, top: self._exchange(name, n, bot, top)
+            axis_exchanges[mesh_axis] = (
+                make_fn(),
+                self._edges(name, n, self.periodic_global[mesh_axis]))
+        return strm.overlap_bounds_structured(
+            el_min, el_max, mesh.shape, mesh.periodic, self.disc.p,
+            active_el=active_el, axis_exchanges=axis_exchanges)
+
+    def _sparsity_bounds_halo(self, el_min, el_max, active_el):
+        from .. import bounds as bnd
+        mesh = self.disc.mesh
+        dim = mesh.dim
+        dm = self.disc.dofmaps
         mmin = el_min if active_el is None else jnp.where(active_el, el_min,
                                                           bnd.INF)
         mmax = el_max if active_el is None else jnp.where(active_el, el_max,
                                                           -bnd.INF)
-        pmin_prev, pmin_next = halo.exchange_slabs(mmin[-ns:], mmin[:ns],
-                                                   self.axis_name,
-                                                   self.n_shards)
-        pmax_prev, pmax_next = halo.exchange_slabs(mmax[-ns:], mmax[:ns],
-                                                   self.axis_name,
-                                                   self.n_shards)
-        has_prev, has_next = halo.edge_masks(self.axis_name, self.n_shards,
-                                             self.periodic_last)
-        pmin_prev = jnp.where(has_prev, pmin_prev, bnd.INF)
-        pmin_next = jnp.where(has_next, pmin_next, bnd.INF)
-        pmax_prev = jnp.where(has_prev, pmax_prev, -bnd.INF)
-        pmax_next = jnp.where(has_next, pmax_next, -bnd.INF)
+        lo, hi = bnd.sparsity_bounds(el_min, el_max,
+                                     jnp.asarray(dm.nbr_elem), dm.nd)
+        grid_shape = tuple(reversed(mesh.shape))
+        lo_g = lo.reshape(grid_shape + (dm.nd,))
+        hi_g = hi.reshape(grid_shape + (dm.nd,))
+        mmin_g = mmin.reshape(grid_shape)
+        mmax_g = mmax.reshape(grid_shape)
+        for mesh_axis, name, n in self.axes_spec:
+            gdim = dim - 1 - mesh_axis
+            per = self.periodic_global[mesh_axis]
+            has_prev, has_next = self._edges(name, n, per)
+            ein_lo = strm._edge_index(mmin_g.ndim, gdim, 0)
+            ein_hi = strm._edge_index(mmin_g.ndim, gdim, 1)
+            for W_g, slabs, worst, upd in (
+                    (mmin_g, None, bnd.INF, "min"),
+                    (mmax_g, None, -bnd.INF, "max")):
+                fp, fn = self._exchange(name, n, W_g[ein_lo], W_g[ein_hi])
+                fp = jnp.where(has_prev, fp, worst)
+                fn = jnp.where(has_next, fn, worst)
+                tgt = lo_g if upd == "min" else hi_g
+                op = jnp.minimum if upd == "min" else jnp.maximum
+                tgt = tgt.at[ein_lo].set(op(tgt[ein_lo], fp[..., None]))
+                tgt = tgt.at[ein_hi].set(op(tgt[ein_hi], fn[..., None]))
+                if upd == "min":
+                    lo_g = tgt
+                else:
+                    hi_g = tgt
+        E = el_min.shape[0]
+        return lo_g.reshape(E, dm.nd), hi_g.reshape(E, dm.nd)
 
-        dm = self.disc.dofmaps
-        if self.cfg.bounds_type == 1:
-            lo, hi = bnd.sparsity_bounds(el_min, el_max,
-                                         jnp.asarray(dm.nbr_elem), dm.nd)
-            lo = lo.at[:ns].min(pmin_prev[:, None])
-            lo = lo.at[-ns:].min(pmin_next[:, None])
-            hi = hi.at[:ns].max(pmax_prev[:, None])
-            hi = hi.at[-ns:].max(pmax_next[:, None])
-            return lo, hi
-
-        mesh = self.disc.mesh
-
-        def exchange(bot, top):
-            return halo.exchange_slabs(top, bot, self.axis_name,
-                                       self.n_shards)
-
-        return strm.overlap_bounds_structured(
-            el_min, el_max, mesh.shape, mesh.periodic, self.disc.p,
-            active_el=active_el, last_axis_exchange=exchange,
-            last_axis_edges=(has_prev, has_next))
-
-    # -- global scalar reductions -----------------------------------------
+    # -- global scalar reductions ------------------------------------------
     def all_min(self, x):
-        return lax.pmin(x, self.axis_name)
+        return lax.pmin(x, self._names)
 
     def all_sum_fn(self):
-        return lambda x: lax.psum(x, self.axis_name)
+        return lambda x: lax.psum(x, self._names)
 
 
 def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
-                      n_shards: int, ode_solver: int,
-                      axis_name: str = "shard", devices=None):
-    """Build (device_mesh, jitted step) for element-sharded execution.
+                      shard_grid, ode_solver: int, devices=None):
+    """Build (device_mesh, jitted step, perm) for element-sharded execution.
 
-    step(S, t, dt, x0, v, inflow) -> (S_new, dt_ratio); S[nf, E, nd] and the
-    geometry arrays are sharded along E over `axis_name`.
+    shard_grid: int (1D, last mesh axis) or tuple over the last k mesh axes.
+    step(S, t, dt, x0, v, inflow) -> (S_new, dt_ratio), all element arrays
+    in shard-block-major order (see block_permutation).
     """
-    lmesh = local_mesh_of(mesh, n_shards)
+    if isinstance(shard_grid, int):
+        shard_grid = (shard_grid,)
+    dim = mesh.dim
+    k = len(shard_grid)
+    lmesh = local_mesh_of(mesh, shard_grid)
     disc_loc = build_discretization(lmesh, order)
-    periodic_last = mesh.periodic[-1]
+    axes_spec = shard_axes_spec(dim, shard_grid)
     bb_min, bb_max = mesh.bb_min, mesh.bb_max
+    periodic_global = mesh.periodic
 
+    n_dev = int(np.prod(shard_grid))
     if devices is None:
-        devices = jax.devices()[:n_shards]
-    dev_mesh = Mesh(np.asarray(devices), (axis_name,))
+        devices = jax.devices()[:n_dev]
+    dev_shape = tuple(n for _, _, n in axes_spec)
+    names = tuple(name for _, name, _ in axes_spec)
+    dev_mesh = Mesh(np.asarray(devices).reshape(dev_shape), names)
 
     def step_local(S, t, dt, x0, v, inflow):
-        adv = ShardedAdvection(disc_loc, scfg, x0, v, inflow, axis_name,
-                               n_shards, periodic_last, bb_min, bb_max)
+        adv = ShardedAdvection(disc_loc, scfg, x0, v, inflow, axes_spec,
+                               periodic_global, bb_min, bb_max)
         if ode_solver <= 10:
             stepper = steppers.make_rk_step(adv.stage_function(), ode_solver)
         else:
             stepper = steppers.make_idp_step(adv.mult_unlimited,
                                              adv.limit_mult, ode_solver)
         S_new, ratio = stepper(S, t, dt)
-        return S_new, lax.pmin(ratio, axis_name)
+        return S_new, lax.pmin(ratio, names)
 
     sharded = jax.shard_map(
         step_local, mesh=dev_mesh,
-        in_specs=(P(None, axis_name), P(), P(), P(axis_name), P(axis_name),
-                  P(axis_name)),
-        out_specs=(P(None, axis_name), P()))
-    return dev_mesh, jax.jit(sharded)
+        in_specs=(P(None, names), P(), P(), P(names), P(names), P(names)),
+        out_specs=(P(None, names), P()))
+    perm = block_permutation(mesh.shape, shard_grid)
+    return dev_mesh, jax.jit(sharded), perm
 
 
-def shard_arrays(dev_mesh, axis_name, S, x0, v, inflow):
-    """Place the state and geometry arrays with the element-block sharding."""
-    sh_S = NamedSharding(dev_mesh, P(None, axis_name))
-    sh_E = NamedSharding(dev_mesh, P(axis_name))
+def shard_arrays(dev_mesh, names, S, x0, v, inflow, perm=None):
+    """Permute to shard-block-major order and place with block sharding."""
+    if perm is not None and not np.array_equal(perm, np.arange(len(perm))):
+        pj = jnp.asarray(perm)
+        S = S[:, pj]
+        x0 = x0[pj]
+        v = v[pj]
+        inflow = inflow[pj]
+    sh_S = NamedSharding(dev_mesh, P(None, names))
+    sh_E = NamedSharding(dev_mesh, P(names))
     return (jax.device_put(S, sh_S), jax.device_put(x0, sh_E),
             jax.device_put(v, sh_E), jax.device_put(inflow, sh_E))

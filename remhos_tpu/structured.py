@@ -72,25 +72,24 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
     for f, (axis, side) in enumerate(faces):
         gdim = _grid_dim(dim, axis)
         vals = ug[..., nbr_dof_local[f]]                    # [*grid, fd]
-        nb = _shift(vals, gdim, side, periodic[axis], fill=0.0)
-        nb = nb.reshape(E, -1)
         if halo is not None and f in halo:
-            # caller pre-masks the slab (cross-shard value or physical edge)
-            ns = halo[f].shape[0]
-            if side == 1:
-                nb = nb.at[E - ns:].set(halo[f])
-            else:
-                nb = nb.at[:ns].set(halo[f])
-        elif not periodic[axis] and bdr_value is not None:
-            edge = _edge_mask(E, shape, axis, side)
-            nb = jnp.where(edge[:, None], bdr_value[:, f], nb)
+            # caller pre-masks the slab (cross-shard value or physical
+            # edge); slab shape = the grid edge slice (any sharded axis)
+            nb = _shift(vals, gdim, side, False, edge_slab=halo[f])
+            nb = nb.reshape(E, -1)
+        else:
+            nb = _shift(vals, gdim, side, periodic[axis], fill=0.0)
+            nb = nb.reshape(E, -1)
+            if not periodic[axis] and bdr_value is not None:
+                edge = _edge_mask(E, shape, axis, side)
+                nb = jnp.where(edge[:, None], bdr_value[:, f], nb)
         outs.append(nb)
     return jnp.stack(outs, axis=1)
 
 
 def overlap_bounds_structured(el_min, el_max, shape, periodic, p,
                               active_el=None, last_axis_exchange=None,
-                              last_axis_edges=None):
+                              last_axis_edges=None, axis_exchanges=None):
     """Separable overlap bounds: per axis, a GLL endpoint dof also sees the
     adjacent element's extremum; interior dofs see only their own element.
     Equals the CG scatter-min/max of ComputeOverlapBounds
@@ -99,6 +98,11 @@ def overlap_bounds_structured(el_min, el_max, shape, periodic, p,
     last_axis_exchange(bot, top) -> (from_prev, from_next): cross-shard
     slab exchange of the partially reduced work arrays (sharded mode);
     last_axis_edges = (has_prev, has_next) booleans.
+
+    axis_exchanges: optional {mesh_axis: (exchange_fn, (has_prev, has_next))}
+    generalizing the halo to several sharded axes (2D/3D device meshes) —
+    the per-axis passes exchange the partially reduced slabs, which also
+    carries the diagonal (corner) contributions across shard corners.
     """
     dim = len(shape)
     grid_shape = tuple(reversed(shape))
@@ -109,15 +113,20 @@ def overlap_bounds_structured(el_min, el_max, shape, periodic, p,
     Wmax = el_max.reshape(grid_shape)
     n1 = p + 1
 
+    if axis_exchanges is None:
+        axis_exchanges = {}
+        if last_axis_exchange is not None:
+            axis_exchanges[dim - 1] = (last_axis_exchange, last_axis_edges)
+
     for axis in range(dim):
         gdim = _grid_dim(dim, axis)
         slabs = {}
-        if axis == dim - 1 and last_axis_exchange is not None:
-            has_prev, has_next = last_axis_edges
+        if axis in axis_exchanges:
+            exchange_fn, (has_prev, has_next) = axis_exchanges[axis]
             for name, W, worst in (("min", Wmin, INF), ("max", Wmax, -INF)):
                 bot = W[_edge_index(W.ndim, gdim, 0)]
                 top = W[_edge_index(W.ndim, gdim, 1)]
-                from_prev, from_next = last_axis_exchange(bot, top)
+                from_prev, from_next = exchange_fn(bot, top)
                 slabs[name] = (jnp.where(has_prev, from_prev, worst),
                                jnp.where(has_next, from_next, worst))
         if slabs:

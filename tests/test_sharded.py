@@ -80,3 +80,42 @@ class TestShardedEqualsUnsharded:
         r1 = run(RunConfig(n_shards=1, elem_per_shard=32 * 8 // 1, **{
             k: v for k, v in kw.items() if k != "elem_per_shard"}))
         assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13
+
+
+@needs_8
+class TestShardGrid2D:
+    """2-D device mesh over the last two mesh axes (halos on both rings)."""
+
+    def test_2d_grid_transport(self):
+        kw = dict(mesh="periodic-cube", problem=0, rs_levels=1, order=2,
+                  dt=0.015, t_final=2.0, max_tsteps=6, ho=3, lo=5, fct=2,
+                  verbose=False)
+        r1 = run(RunConfig(**kw))
+        r24 = run(RunConfig(shard_grid=(2, 3), **kw))
+        assert abs(r1.final_mass_u - r24.final_mass_u) < 1e-13
+        assert abs(r1.max_u - r24.max_u) < 1e-13
+
+    def test_2d_grid_remap_nonperiodic(self):
+        kw = dict(mesh="cube01_hex", problem=10, rs_levels=1, order=2,
+                  dt=0.02, t_final=0.7, max_tsteps=4, ho=3, lo=3, fct=2,
+                  verbose=False)
+        r1 = run(RunConfig(**kw))
+        r22 = run(RunConfig(shard_grid=(2, 2), **kw))
+        assert abs(r1.final_mass_u - r22.final_mass_u) < 1e-13
+        assert abs(r1.max_u - r22.max_u) < 1e-13
+
+    def test_2d_grid_2dmesh(self):
+        kw = dict(mesh="periodic-square", problem=4, rs_levels=3, order=3,
+                  dt=0.005, t_final=0.02, ho=3, lo=5, fct=2, verbose=False)
+        r1 = run(RunConfig(**kw))
+        r8 = run(RunConfig(shard_grid=(2, 4), **kw))
+        assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13
+        assert abs(r1.max_u - r8.max_u) < 1e-13
+
+    def test_2d_grid_sparsity_bounds(self):
+        kw = dict(mesh="periodic-square", problem=4, rs_levels=3, order=2,
+                  dt=0.005, t_final=0.02, ho=3, lo=5, fct=2, bounds_type=1,
+                  verbose=False)
+        r1 = run(RunConfig(**kw))
+        r8 = run(RunConfig(shard_grid=(4, 2), **kw))
+        assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13
