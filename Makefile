@@ -1,0 +1,31 @@
+# Convenience targets mirroring the reference's makefile entry points
+# (make test / make tests, makefile:155-164, 202-204).
+
+PY ?= python
+
+.PHONY: test tests goldens bench native clean
+
+# quick smoke (the reference's `make test`)
+test:
+	$(PY) -m remhos_tpu -m periodic-square -p 0 -rs 2 -tf 0.1 -dt 0.01 \
+	    -ho 3 -lo 5 -fct 2 -no-vis -d cpu
+
+# full regression suite
+tests:
+	$(PY) -m pytest tests/ -q
+
+# golden matrix vs the reference CI baseline
+goldens:
+	$(PY) tools/run_goldens.py
+
+# one-line JSON FOM benchmark (runs on the TPU)
+bench:
+	$(PY) bench.py
+
+native:
+	g++ -O2 -shared -fPIC -std=c++17 remhos_tpu/native/remhos_tables.cpp \
+	    -o remhos_tpu/native/libremhos_tables.so
+
+clean:
+	rm -f remhos_tpu/native/libremhos_tables.so
+	find . -name __pycache__ -type d -exec rm -rf {} +
