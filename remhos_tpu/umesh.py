@@ -86,8 +86,10 @@ class GeneralMesh:
         return m
 
 
-def from_arrays(corners, corner_pos, mesh_order=2) -> GeneralMesh:
-    """Build a GeneralMesh from lex-ordered corner ids + positions (2D)."""
+def from_arrays(corners, corner_pos, mesh_order=2,
+                x_nodes=None) -> GeneralMesh:
+    """Build a GeneralMesh from lex-ordered corner ids + positions (2D).
+    x_nodes overrides the geometry nodes (curved/NURBS elements)."""
     E = corners.shape[0]
     # face -> (ordered corner pair)
     nbr_elem = np.full((E, 4), -1, np.int32)
@@ -113,14 +115,17 @@ def from_arrays(corners, corner_pos, mesh_order=2) -> GeneralMesh:
                 nbr_flip[e2, f2] = not same_dir
             else:
                 face_map[key] = (e, f, (va, vb))
-    # geometry nodes: bilinear corner interpolation at GLL tensor points
-    gll = gauss_lobatto(mesh_order + 1)
-    xi, eta = np.meshgrid(gll, gll, indexing="ij")
-    xi = xi.ravel(order="F")
-    eta = eta.ravel(order="F")
-    w = np.stack([(1 - xi) * (1 - eta), xi * (1 - eta),
-                  (1 - xi) * eta, xi * eta], axis=-1)   # [nm, 4] lex corners
-    x = np.einsum("nc,ecd->end", w, corner_pos)
+    if x_nodes is not None:
+        x = np.asarray(x_nodes, np.float64)
+    else:
+        # geometry nodes: bilinear corner interpolation at GLL tensor points
+        gll = gauss_lobatto(mesh_order + 1)
+        xi, eta = np.meshgrid(gll, gll, indexing="ij")
+        xi = xi.ravel(order="F")
+        eta = eta.ravel(order="F")
+        w = np.stack([(1 - xi) * (1 - eta), xi * (1 - eta),
+                      (1 - xi) * eta, xi * eta], axis=-1)  # [nm, 4] lex
+        x = np.einsum("nc,ecd->end", w, corner_pos)
     lo = tuple(corner_pos.reshape(-1, 2).min(axis=0))
     hi = tuple(corner_pos.reshape(-1, 2).max(axis=0))
     return GeneralMesh(2, mesh_order, x, corners.astype(np.int64),
@@ -177,6 +182,11 @@ def _refine_quad(m: GeneralMesh) -> GeneralMesh:
 def load_general_mesh(path: str, rs_levels: int = 0,
                       mesh_order: int = 2) -> GeneralMesh:
     """Load an MFEM .mesh file (2D quads) through the native parser."""
+    with open(path) as fh:
+        header = fh.readline()
+    if "NURBS" in header:
+        from .nurbs import load_nurbs_mesh
+        return load_nurbs_mesh(path, rs_levels, mesh_order)
     from .native import load_mfem_mesh
 
     parsed = load_mfem_mesh(path)

@@ -329,3 +329,14 @@ class TestUnstructured:
                  t_final=0.05, ho=2, lo=3, fct=2, pa=True)
         assert r.mass_loss_u < 1e-13
         assert r.max_u <= 1.0 + 1e-10
+
+
+class TestNURBS:
+    def test_disc_nurbs_geometry_and_invariants(self):
+        import os
+        if not os.path.exists("/root/reference/data/disc-nurbs.mesh"):
+            pytest.skip("reference data not available")
+        r = _run(mesh="disc-nurbs", problem=1, rs_levels=2, dt=0.005,
+                 t_final=0.05, ho=1, lo=2, fct=2)
+        assert r.mass_loss_u < 1e-10
+        assert r.max_u <= 1.0 + 1e-10
