@@ -12,7 +12,6 @@ via jax.lax.ppermute. Non-periodic meshes mask the wrap-around edges.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
