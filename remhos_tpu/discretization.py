@@ -75,9 +75,12 @@ def build_discretization(mesh, p: int) -> Discretization:
     dim, mo = mesh.dim, mesh.mesh_order
     if getattr(mesh, "structured", True):
         dofmaps = build_dofmaps(mesh, p)
-    else:
+    elif dim == 2:
         from .umesh import build_general_dofmaps
         dofmaps = build_general_dofmaps(mesh, p)
+    else:
+        from .umesh3d import build_general_dofmaps_3d
+        dofmaps = build_general_dofmaps_3d(mesh, p)
 
     # ---- volume rule ----
     vol_order = 2 * p + mo * dim - 1

@@ -192,8 +192,17 @@ def load_general_mesh(path: str, rs_levels: int = 0,
     parsed = load_mfem_mesh(path)
     if parsed is None:
         raise RuntimeError("native mesh parser unavailable")
-    if parsed["dim"] != 2:
-        raise NotImplementedError("general meshes: 2D quads only (round 1)")
+    if parsed["dim"] == 3:
+        from .umesh3d import from_arrays_3d
+        ev = parsed["elem_verts"]               # MFEM hex (v0..v7)
+        corners = ev[:, [0, 1, 3, 2, 4, 5, 7, 6]]   # -> lex corner order
+        if "l2_nodes" in parsed:
+            assert parsed["l2_order"] == 1
+            corner_pos = parsed["l2_nodes"]
+        else:
+            corner_pos = parsed["verts"][corners]
+        return from_arrays_3d(corners, corner_pos,
+                              mesh_order).refine(rs_levels)
     ev = parsed["elem_verts"]                   # MFEM ccw (v0,v1,v2,v3)
     corners = ev[:, [0, 1, 3, 2]]               # -> lex corner order
     if "l2_nodes" in parsed:
