@@ -110,8 +110,9 @@ def control_nets(path: str):
     n = p + 1
     edge_dof = {}
     for idx, (_, v0, v1) in enumerate(edges):
-        edge_dof[(v0, v1)] = (nv + idx * (p - 1), +1)
-        edge_dof[(v1, v0)] = (nv + idx * (p - 1) + p - 2, -1)
+        a, b = (v0, v1) if v0 < v1 else (v1, v0)
+        edge_dof[(a, b)] = (nv + idx * (p - 1), +1)
+        edge_dof[(b, a)] = (nv + idx * (p - 1) + p - 2, -1)
     E = len(elems)
     H = np.zeros((E, n, n, 3))
     corners_lex = np.zeros((E, 4), np.int64)
@@ -210,3 +211,234 @@ def load_nurbs_mesh(path: str, rs_levels: int = 0,
     corner_pos = np.stack([x[:, 0], x[:, m1 - 1], x[:, m1 * (m1 - 1)],
                            x[:, m1 * m1 - 1]], axis=1)
     return from_arrays(corners, corner_pos, mesh_order, x_nodes=x)
+
+
+# ---------------------------------------------------------------------------
+# 3D (hex) NURBS: ball-nurbs-style quartic Bézier patches
+# ---------------------------------------------------------------------------
+
+# MFEM hex local faces (vertex sequences with outward-ccw orientation,
+# mfem geom.cpp); faces are enumerated on first encounter in this order.
+_MFEM_HEX_FACES = [(3, 2, 1, 0), (0, 1, 5, 4), (1, 2, 6, 5),
+                   (2, 3, 7, 6), (3, 0, 4, 7), (4, 5, 6, 7)]
+
+
+def parse_nurbs_mesh_3d(path: str):
+    tok = _tokens(path)
+    i = 0
+
+    def seek(word):
+        nonlocal i
+        while tok[i] != word:
+            i += 1
+        i += 1
+
+    seek("dimension")
+    dim = int(tok[i]); i += 1
+    assert dim == 3
+    seek("elements")
+    ne = int(tok[i]); i += 1
+    elems = []
+    for _ in range(ne):
+        i += 2                       # attribute, geom(=5)
+        elems.append([int(tok[i + k]) for k in range(8)])
+        i += 8
+    seek("boundary")
+    nb = int(tok[i]); i += 1
+    for _ in range(nb):
+        i += 2                       # attribute, geom(=3)
+        i += 4
+    seek("edges")
+    nedge = int(tok[i]); i += 1
+    edges = []
+    for _ in range(nedge):
+        edges.append((int(tok[i + 1]), int(tok[i + 2])))
+        i += 3
+    seek("vertices")
+    nv = int(tok[i]); i += 1
+    seek("knotvectors")
+    nkv = int(tok[i]); i += 1
+    p = None
+    for _ in range(nkv):
+        pp = int(tok[i]); ncp = int(tok[i + 1]); i += 2
+        nkn = ncp + pp + 1
+        knots = [float(tok[i + k]) for k in range(nkn)]
+        i += nkn
+        assert ncp == pp + 1 and set(knots) == {0.0, 1.0}
+        assert p is None or p == pp
+        p = pp
+
+    # face discovery in MFEM's order: elements in order, local faces 0..5;
+    # the FIRST encounter stores the face's vertex frame (dof directions
+    # s: q0->q1, t: q0->q3)
+    face_id = {}
+    face_frame = []
+    for e in range(ne):
+        ev = elems[e]
+        for lf in _MFEM_HEX_FACES:
+            quad = tuple(ev[k] for k in lf)
+            key = frozenset(quad)
+            if key not in face_id:
+                face_id[key] = len(face_frame)
+                face_frame.append(quad)
+    nface = len(face_frame)
+
+    npe = p - 1
+    ndof = nv + nedge * npe + nface * npe * npe + ne * npe ** 3
+    seek("weights")
+    weights = np.array([float(tok[i + k]) for k in range(ndof)])
+    i += ndof
+    assert tok[i] == "FiniteElementSpace", \
+        f"NURBS dof count mismatch (got token {tok[i]!r})"
+    seek("Ordering:")
+    i += 1
+    cps = np.array([float(t) for t in tok[i:i + ndof * 3]],
+                   dtype=np.float64).reshape(ndof, 3)
+    return elems, edges, nv, face_id, face_frame, weights, cps, p
+
+
+def control_nets_3d(path: str, face_layout: str = "s-fast"):
+    """H[E, n, n, n, 4] homogeneous nets (wx, wy, wz, w), index (xi,eta,zeta);
+    corners_lex[E, 8]. face_layout: fast index of the stored face dofs
+    ("s-fast": along q0->q1; "t-fast": along q0->q3)."""
+    (elems, edges, nv, face_id, face_frame, w, cps,
+     p) = parse_nurbs_mesh_3d(path)
+    n = p + 1
+    npe = p - 1
+    # NURBS edge dofs are stored from the SMALLER to the LARGER vertex id,
+    # regardless of the edges-section listing order (determined empirically
+    # against the exact-sphere boundary of ball-nurbs)
+    edge_dof = {}
+    for idx, (v0, v1) in enumerate(edges):
+        a, b = (v0, v1) if v0 < v1 else (v1, v0)
+        edge_dof[(a, b)] = (nv + idx * npe, +1)
+        edge_dof[(b, a)] = (nv + idx * npe + npe - 1, -1)
+    face_base = nv + len(edges) * npe
+    int_base = face_base + len(face_frame) * npe * npe
+
+    E = len(elems)
+    H = np.zeros((E, n, n, n, 4))
+    corners_lex = np.zeros((E, 8), np.int64)
+    hom = np.concatenate([cps * w[:, None], w[:, None]], axis=1)
+
+    # lex corner bit -> MFEM hex vertex index
+    mfem_of_lex = [0, 1, 3, 2, 4, 5, 7, 6]
+    # hex edges in lex terms: (corner_a, corner_b, axis)
+    lex_edges = [(0, 1, 0), (2, 3, 0), (4, 5, 0), (6, 7, 0),
+                 (0, 2, 1), (1, 3, 1), (4, 6, 1), (5, 7, 1),
+                 (0, 4, 2), (1, 5, 2), (2, 6, 2), (3, 7, 2)]
+    from .umesh3d import _FACE_CORNERS
+    for e, ev in enumerate(elems):
+        cl = [ev[k] for k in mfem_of_lex]        # lex corner vertex ids
+        corners_lex[e] = cl
+        ids = np.zeros((n, n, n), np.int64)
+        bits = _lex3_bits = [(k & 1, (k >> 1) & 1, (k >> 2) & 1)
+                             for k in range(8)]
+        for k, (bx, by, bz) in enumerate(bits):
+            ids[bx * p, by * p, bz * p] = cl[k]
+        interior = slice(1, n - 1)
+        for (ca, cb, axis) in lex_edges:
+            base, step = edge_dof[(cl[ca], cl[cb])]
+            vals = base + step * np.arange(npe)
+            sl = [bits[ca][0] * p, bits[ca][1] * p, bits[ca][2] * p]
+            sl[axis] = interior
+            ids[tuple(sl)] = vals
+        for (axis, side), T in _FACE_CORNERS.items():
+            # my face frame: quad[j][i] vertex ids (tangential axes t1<t2)
+            quad = [[cl[T[j][i]] for i in range(2)] for j in range(2)]
+            fid = face_id[frozenset(quad[0] + quad[1])]
+            frame = face_frame[fid]                  # (q0, q1, q2, q3)
+            # stored frame: s along q0->q1, t along q0->q3; express my
+            # (i, j) interior coords in the stored frame
+            fq = {int(v): k for k, v in enumerate(frame)}
+            # positions of stored corners in MY frame
+            pos = {int(quad[j][i]): (i, j) for j in range(2)
+                   for i in range(2)}
+            i0, j0 = pos[frame[0]]
+            is_, js_ = pos[frame[1]]                 # s step
+            it_, jt_ = pos[frame[3]]                 # t step
+            ii, jj = np.meshgrid(np.arange(1, p), np.arange(1, p),
+                                 indexing="ij")      # my (i, j), i fastest
+            di, dj = ii - i0 * p, jj - j0 * p
+            s = (is_ - i0) * di + (js_ - j0) * dj
+            t = (it_ - i0) * di + (jt_ - j0) * dj
+            if face_layout == "s-fast":
+                vals = face_base + fid * npe * npe + (s - 1) + npe * (t - 1)
+            else:
+                vals = face_base + fid * npe * npe + (t - 1) + npe * (s - 1)
+            sl = [None, None, None]
+            tang = [a for a in range(3) if a != axis]
+            sl[axis] = side * p
+            grid = np.zeros((npe, npe), np.int64)
+            grid[:, :] = vals
+            full = [None, None, None]
+            full[axis] = np.full((npe, npe), side * p)
+            full[tang[0]] = ii
+            full[tang[1]] = jj
+            ids[full[0], full[1], full[2]] = grid
+        iii, jjj, kkk = np.meshgrid(np.arange(1, p), np.arange(1, p),
+                                    np.arange(1, p), indexing="ij")
+        ids[interior, interior, interior] = (
+            int_base + e * npe ** 3
+            + (iii - 1) + npe * (jjj - 1) + npe * npe * (kkk - 1))
+        H[e] = hom[ids]
+    return H, corners_lex
+
+
+def load_nurbs_mesh_3d(path: str, rs_levels: int = 0, mesh_order: int = 2):
+    from .umesh3d import from_arrays_3d, _lex_multi_index
+
+    H, corners = control_nets_3d(path)
+    for _ in range(rs_levels):
+        E = H.shape[0]
+        next_vid = int(corners.max()) + 1
+        table = {}
+
+        def node_id(vids):
+            nonlocal next_vid
+            key = tuple(sorted(int(v) for v in vids))
+            if key not in table:
+                table[key] = next_vid
+                next_vid += 1
+            return table[key]
+
+        new_H, new_c = [], []
+        sub = _lex_multi_index(2, 3)
+        for e in range(E):
+            c = corners[e]
+
+            def vid(q):
+                axes = [[v // 2] if v in (0, 2) else [0, 1] for v in q]
+                ids = [int(c[bx + 2 * by + 4 * bz])
+                       for bx in axes[0] for by in axes[1] for bz in axes[2]]
+                return ids[0] if len(ids) == 1 else node_id(ids)
+
+            lo0, hi0 = _decasteljau_split(H[e], axis=0)
+            parts = {}
+            for sx, px in ((0, lo0), (1, hi0)):
+                lo1, hi1 = _decasteljau_split(px, axis=1)
+                for sy, py in ((0, lo1), (1, hi1)):
+                    lo2, hi2 = _decasteljau_split(py, axis=2)
+                    parts[(sx, sy, 0)] = lo2
+                    parts[(sx, sy, 1)] = hi2
+            for s in sub:
+                kc = [vid(tuple(s + corner))
+                      for corner in _lex_multi_index(2, 3)]
+                new_H.append(parts[tuple(s)])
+                new_c.append(kc)
+        H = np.stack(new_H)
+        corners = np.asarray(new_c, np.int64)
+
+    n = H.shape[1]
+    gll = gauss_lobatto(mesh_order + 1)
+    B = bernstein_vals(n - 1, gll)
+    hx = np.einsum("ai,bj,ck,eijkd->eabcd", B, B, B, H)
+    x = hx[..., :3] / hx[..., 3:4]
+    m1 = mesh_order + 1
+    # lex node order (xi fastest): transpose (a,b,c) -> (c,b,a) then reshape
+    x = x.transpose(0, 3, 2, 1, 4).reshape(H.shape[0], m1 ** 3, 3)
+    corner_ids = [0, m1 - 1, m1 * (m1 - 1), m1 * m1 - 1]
+    corner_ids = ([ci for ci in corner_ids]
+                  + [ci + m1 * m1 * (m1 - 1) for ci in corner_ids])
+    corner_pos = x[:, corner_ids]
+    return from_arrays_3d(corners, corner_pos, mesh_order, x_nodes=x)

@@ -126,8 +126,8 @@ def from_arrays(corners, corner_pos, mesh_order=2,
         w = np.stack([(1 - xi) * (1 - eta), xi * (1 - eta),
                       (1 - xi) * eta, xi * eta], axis=-1)  # [nm, 4] lex
         x = np.einsum("nc,ecd->end", w, corner_pos)
-    lo = tuple(corner_pos.reshape(-1, 2).min(axis=0))
-    hi = tuple(corner_pos.reshape(-1, 2).max(axis=0))
+    lo = tuple(x.reshape(-1, 2).min(axis=0))
+    hi = tuple(x.reshape(-1, 2).max(axis=0))
     return GeneralMesh(2, mesh_order, x, corners.astype(np.int64),
                        corner_pos, nbr_elem, nbr_face, nbr_flip, lo, hi)
 
@@ -184,7 +184,11 @@ def load_general_mesh(path: str, rs_levels: int = 0,
     """Load an MFEM .mesh file (2D quads) through the native parser."""
     with open(path) as fh:
         header = fh.readline()
+        dim_line = fh.read(400)
     if "NURBS" in header:
+        if "dimension\n3" in dim_line.replace(" ", ""):
+            from .nurbs import load_nurbs_mesh_3d
+            return load_nurbs_mesh_3d(path, rs_levels, mesh_order)
         from .nurbs import load_nurbs_mesh
         return load_nurbs_mesh(path, rs_levels, mesh_order)
     from .native import load_mfem_mesh

@@ -143,8 +143,8 @@ def from_arrays_3d(corners, corner_pos, mesh_order=2, x_nodes=None):
                 t = xi[a]
                 w[:, c] *= t if (c >> a) & 1 else (1.0 - t)
         x = np.einsum("nc,ecd->end", w, corner_pos)
-    lo = tuple(corner_pos.reshape(-1, 3).min(axis=0))
-    hi = tuple(corner_pos.reshape(-1, 3).max(axis=0))
+    lo = tuple(x.reshape(-1, 3).min(axis=0))
+    hi = tuple(x.reshape(-1, 3).max(axis=0))
     return GeneralMesh3D(3, mesh_order, x, corners, corner_pos,
                          nbr_elem, nbr_face, nbr_map, lo, hi)
 
