@@ -66,18 +66,24 @@ class GeneralMesh:
         return np.asarray(self.hi)
 
     def element_sizes(self) -> np.ndarray:
-        # sqrt of the bilinear cell area at the center (GetElementSize type 0)
-        c = self.corner_pos
-        if self.dim != 2:
-            raise NotImplementedError
-        # Jacobian at center from corner positions (lex corners)
-        dx_dxi = 0.5 * ((c[:, 1] + c[:, 3]) - (c[:, 0] + c[:, 2]))
-        dx_deta = 0.5 * ((c[:, 2] + c[:, 3]) - (c[:, 0] + c[:, 1]))
-        det = (dx_dxi[:, 0] * dx_deta[:, 1] - dx_dxi[:, 1] * dx_deta[:, 0])
+        """sqrt of |detJ| of the (curved) geometry at the ref center
+        (GetElementSize type 0)."""
+        from .basis import lagrange_grads, lagrange_vals, tensor_mixed_grads
+        gll = gauss_lobatto(self.mesh_order + 1)
+        c = np.array([0.5])
+        Bv = lagrange_vals(gll, c)
+        Gv = lagrange_grads(gll, c)
+        G = tensor_mixed_grads([Bv, Bv], [Gv, Gv])[0]      # [nm, 2]
+        J = np.einsum("end,nb->edb", self.x, G)
+        det = J[:, 0, 0] * J[:, 1, 1] - J[:, 0, 1] * J[:, 1, 0]
         return np.sqrt(np.abs(det))
 
     def element_centers(self) -> np.ndarray:
-        return self.corner_pos.mean(axis=1)
+        """Geometry map at the reference center (curved-aware)."""
+        from .basis import lagrange_vals, tensor_mixed
+        gll = gauss_lobatto(self.mesh_order + 1)
+        B = tensor_mixed([lagrange_vals(gll, np.array([0.5]))] * 2)  # [1, nm]
+        return np.einsum("end,n->ed", self.x, B[0])
 
     def refine(self, levels: int = 1) -> "GeneralMesh":
         m = self
@@ -126,18 +132,41 @@ def from_arrays(corners, corner_pos, mesh_order=2,
         w = np.stack([(1 - xi) * (1 - eta), xi * (1 - eta),
                       (1 - xi) * eta, xi * eta], axis=-1)  # [nm, 4] lex
         x = np.einsum("nc,ecd->end", w, corner_pos)
-    lo = tuple(x.reshape(-1, 2).min(axis=0))
-    hi = tuple(x.reshape(-1, 2).max(axis=0))
+    # bounding box MFEM-style: sample the geometry on the GeometryRefiner
+    # ref-lattice (GetBoundingBox(max(order,1)), remhos.cpp:457). We use a
+    # dense lattice that includes the nodes; for polynomial geometry the
+    # extrema at this resolution match MFEM's ref=3 lattice to rounding in
+    # all cases used (interior extrema of Q2 maps lie at nodes/corners).
+    from .basis import lagrange_vals as _lv, tensor_mixed as _tm
+    _gll = gauss_lobatto(mesh_order + 1)
+    _lat = np.linspace(0.0, 1.0, 4)
+    _B = _tm([_lv(_gll, _lat)] * 2)
+    _pts = np.einsum("qn,end->eqd", _B, x)
+    lo = tuple(_pts.reshape(-1, 2).min(axis=0))
+    hi = tuple(_pts.reshape(-1, 2).max(axis=0))
     return GeneralMesh(2, mesh_order, x, corners.astype(np.int64),
                        corner_pos, nbr_elem, nbr_face, nbr_flip, lo, hi)
 
 
 def _refine_quad(m: GeneralMesh) -> GeneralMesh:
     """Uniform refinement: topology via shared edge-midpoint ids; geometry
-    via per-element corner interpolation (periodic-safe)."""
+    by evaluating each parent's (possibly curved) Q-k map at the child
+    node positions — exact for polynomial geometry, and equal to corner
+    interpolation for straight elements. Periodic-safe (per-element)."""
+    from .basis import lagrange_vals, tensor_mixed
     E = m.num_elements
     corners = m.corners
     pos = m.corner_pos
+    # child-node evaluation tables through the parent geometry
+    mo = m.mesh_order
+    gll = gauss_lobatto(mo + 1)
+    child_tabs = []
+    for sy in (0, 1):
+        for sx in (0, 1):
+            tx = lagrange_vals(gll, sx / 2 + gll / 2)
+            ty = lagrange_vals(gll, sy / 2 + gll / 2)
+            child_tabs.append(tensor_mixed([tx, ty]))   # [nm, nm]
+
     next_vid = int(corners.max()) + 1
     edge_mid = {}
 
@@ -151,32 +180,81 @@ def _refine_quad(m: GeneralMesh) -> GeneralMesh:
 
     new_corners = []
     new_pos = []
+    new_x = []
     # lex corners c0..c3; children in the 2x2 lex layout
     for e in range(E):
         c = [int(v) for v in corners[e]]
-        p = pos[e]
         m01 = mid_id(c[0], c[1])
         m23 = mid_id(c[2], c[3])
         m02 = mid_id(c[0], c[2])
         m13 = mid_id(c[1], c[3])
         ctr = next_vid
         next_vid += 1
-        p01 = 0.5 * (p[0] + p[1])
-        p23 = 0.5 * (p[2] + p[3])
-        p02 = 0.5 * (p[0] + p[2])
-        p13 = 0.5 * (p[1] + p[3])
-        pc = 0.25 * (p[0] + p[1] + p[2] + p[3])
         kids = [
-            ([c[0], m01, m02, ctr], [p[0], p01, p02, pc]),
-            ([m01, c[1], ctr, m13], [p01, p[1], pc, p13]),
-            ([m02, ctr, c[2], m23], [p02, pc, p[2], p23]),
-            ([ctr, m13, m23, c[3]], [pc, p13, p23, p[3]]),
+            [c[0], m01, m02, ctr],
+            [m01, c[1], ctr, m13],
+            [m02, ctr, c[2], m23],
+            [ctr, m13, m23, c[3]],
         ]
-        for kc, kp in kids:
+        # child order must match child_tabs (sx fastest)
+        for kidx, kc in enumerate(kids):
             new_corners.append(kc)
-            new_pos.append(kp)
+            kx = child_tabs[kidx] @ m.x[e]              # [nm, dim]
+            new_x.append(kx)
+            n1 = m.mesh_order + 1
+            new_pos.append([kx[0], kx[n1 - 1], kx[n1 * (n1 - 1)],
+                            kx[n1 * n1 - 1]])
     return from_arrays(np.asarray(new_corners, np.int64),
-                       np.asarray(new_pos, np.float64), m.mesh_order)
+                       np.asarray(new_pos, np.float64), m.mesh_order,
+                       x_nodes=np.asarray(new_x))
+
+
+def load_h1_quadratic_mesh(path: str, rs_levels: int = 0) -> GeneralMesh:
+    """2D quad mesh with an H1 'Quadratic' nodes grid function (star-q2):
+    dofs = vertices, then first-seen edges (midpoints), then element
+    centers — all orientation-free for order 2."""
+    import re
+    txt = re.sub(r"#[^\n]*", " ", open(path).read())
+    tok = txt.split()
+    i = tok.index("elements") + 1
+    ne = int(tok[i]); i += 1
+    elems = []
+    for _ in range(ne):
+        i += 2
+        elems.append([int(tok[i + k]) for k in range(4)])
+        i += 4
+    i = tok.index("vertices", i) + 1
+    nv = int(tok[i]); i += 1
+    # edge enumeration: first-seen, MFEM local edge order
+    edge_id = {}
+    for ev in elems:
+        for (a, b) in ((ev[0], ev[1]), (ev[1], ev[2]), (ev[2], ev[3]),
+                       (ev[3], ev[0])):
+            key = (min(a, b), max(a, b))
+            if key not in edge_id:
+                edge_id[key] = len(edge_id)
+    nedge = len(edge_id)
+    i = tok.index("Ordering:", i) + 1
+    ordering = int(tok[i]); i += 1
+    ndof = nv + nedge + ne
+    vals = np.array([float(t) for t in tok[i:i + 2 * ndof]])
+    if ordering == 0:
+        nodes = np.stack([vals[:ndof], vals[ndof:]], axis=1)
+    else:
+        nodes = vals.reshape(ndof, 2)
+    x = np.zeros((ne, 9, 2))
+    corners = np.zeros((ne, 4), np.int64)
+    for e, ev in enumerate(elems):
+        def eid(a, b):
+            return nv + edge_id[(min(a, b), max(a, b))]
+        ids = [ev[0], eid(ev[0], ev[1]), ev[1],
+               eid(ev[3], ev[0]), nv + nedge + e, eid(ev[1], ev[2]),
+               ev[3], eid(ev[2], ev[3]), ev[2]]
+        x[e] = nodes[ids]
+        corners[e] = [ev[0], ev[1], ev[3], ev[2]]
+    cp = x[:, [0, 2, 6, 8]]
+    m = from_arrays(corners, cp, 2, x_nodes=x)
+    return m.refine(rs_levels)
 
 
 def load_general_mesh(path: str, rs_levels: int = 0,
@@ -185,6 +263,8 @@ def load_general_mesh(path: str, rs_levels: int = 0,
     with open(path) as fh:
         header = fh.readline()
         dim_line = fh.read(400)
+    if "Quadratic" in open(path).read():
+        return load_h1_quadratic_mesh(path, rs_levels)
     if "NURBS" in header:
         if "dimension\n3" in dim_line.replace(" ", ""):
             from .nurbs import load_nurbs_mesh_3d

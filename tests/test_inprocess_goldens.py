@@ -3,7 +3,8 @@ final masses recorded to 16 digits for 5-step auto-dt remap runs, asserted
 at 10*eps relative tolerance in the reference. We assert at 1e-12 (FA runs
 match at ~1e-15; PA runs go through the iterative GL mass inverse).
 
-star-q2 (#8) needs curved general-mesh loading — deferred.
+All eight structured/curved rows are covered (star-q2 via the curved
+H1-quadratic general-mesh loader).
 """
 
 import pytest
@@ -22,6 +23,10 @@ CASES = [
 ]
 
 SLOW_CASES = [
+    ("t8-star-q2",
+     dict(mesh="/root/reference/data/star-q2.mesh", problem=14, rs_levels=1,
+          order=3, pa=True),
+     0.8069675186775516, 1e-11),
     ("t1", dict(mesh="inline-quad", problem=14, rs_levels=4, order=3),
      0.0930984399257905, 1e-12),
     ("t2", dict(mesh="inline-quad", problem=14, rs_levels=4, order=4),
