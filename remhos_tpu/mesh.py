@@ -239,7 +239,8 @@ def load_mesh(name: str, rs_levels: int = 0, mesh_order: int = 2):
                 return load_general_mesh(c, rs_levels, mesh_order)
         raise ValueError(
             f"unknown/unsupported mesh '{name}' (structured meshes: "
-            f"{sorted(_REGISTRY)}; general 2D-quad .mesh files by path)")
+            f"{sorted(_REGISTRY)}; general quad/hex/NURBS/curved-H1 "
+            f".mesh files by path or $REMHOS_REF_DATA name)")
     spec = _REGISTRY[key]
     m = make_mesh_from_breaks(spec["dim"], spec["breaks"], spec["periodic"],
                               mesh_order)

@@ -209,10 +209,17 @@ def _refine_quad(m: GeneralMesh) -> GeneralMesh:
                        x_nodes=np.asarray(new_x))
 
 
-def load_h1_quadratic_mesh(path: str, rs_levels: int = 0) -> GeneralMesh:
-    """2D quad mesh with an H1 'Quadratic' nodes grid function (star-q2):
-    dofs = vertices, then first-seen edges (midpoints), then element
-    centers — all orientation-free for order 2."""
+def load_h1_nodes_mesh(path: str, order: int, rs_levels: int = 0
+                       ) -> GeneralMesh:
+    """2D quad mesh with an H1 nodes grid function of a given order
+    (star-q2 'Quadratic', star-q3 'Cubic').
+
+    MFEM H1 dof layout (fespace.cpp GetElementDofs): vertices, then
+    first-seen edges with order-1 dofs each stored along the edge's
+    canonical (min->max vertex id) direction, then (order-1)^2 interior
+    dofs per element, lex (x fastest) in the element frame. Node
+    positions are Gauss-Lobatto (H1_FECollection default basis), which
+    matches from_arrays' x_nodes convention."""
     import re
     txt = re.sub(r"#[^\n]*", " ", open(path).read())
     tok = txt.split()
@@ -236,25 +243,59 @@ def load_h1_quadratic_mesh(path: str, rs_levels: int = 0) -> GeneralMesh:
     nedge = len(edge_id)
     i = tok.index("Ordering:", i) + 1
     ordering = int(tok[i]); i += 1
-    ndof = nv + nedge + ne
+    ned = order - 1                    # dofs per edge
+    nid = ned * ned                    # interior dofs per element
+    ndof = nv + ned * nedge + nid * ne
     vals = np.array([float(t) for t in tok[i:i + 2 * ndof]])
     if ordering == 0:
         nodes = np.stack([vals[:ndof], vals[ndof:]], axis=1)
     else:
         nodes = vals.reshape(ndof, 2)
-    x = np.zeros((ne, 9, 2))
+
+    n1 = order + 1
+    x = np.zeros((ne, n1 * n1, 2))
     corners = np.zeros((ne, 4), np.int64)
+
+    def lat(ix, iy):                   # lex lattice index, x fastest
+        return iy * n1 + ix
+
     for e, ev in enumerate(elems):
-        def eid(a, b):
-            return nv + edge_id[(min(a, b), max(a, b))]
-        ids = [ev[0], eid(ev[0], ev[1]), ev[1],
-               eid(ev[3], ev[0]), nv + nedge + e, eid(ev[1], ev[2]),
-               ev[3], eid(ev[2], ev[3]), ev[2]]
+        ids = np.zeros(n1 * n1, np.int64)
+        # corners: MFEM ccw (v0,v1,v2,v3) -> lattice corners
+        ids[lat(0, 0)] = ev[0]
+        ids[lat(n1 - 1, 0)] = ev[1]
+        ids[lat(n1 - 1, n1 - 1)] = ev[2]
+        ids[lat(0, n1 - 1)] = ev[3]
+
+        def edge_dofs(a, b):
+            """edge dof ids walking a->b (stored min->max in the file)."""
+            eid = edge_id[(min(a, b), max(a, b))]
+            d = nv + ned * eid + np.arange(ned)
+            return d if a < b else d[::-1]
+
+        # local edges at lattice positions (walk in local direction)
+        for k, d in enumerate(edge_dofs(ev[0], ev[1])):
+            ids[lat(1 + k, 0)] = d                       # bottom, +x
+        for k, d in enumerate(edge_dofs(ev[1], ev[2])):
+            ids[lat(n1 - 1, 1 + k)] = d                  # right, +y
+        for k, d in enumerate(edge_dofs(ev[2], ev[3])):
+            ids[lat(n1 - 2 - k, n1 - 1)] = d             # top, -x
+        for k, d in enumerate(edge_dofs(ev[3], ev[0])):
+            ids[lat(0, n1 - 2 - k)] = d                  # left, -y
+        # interior: lex, x fastest
+        base = nv + ned * nedge + nid * e
+        for jy in range(ned):
+            for jx in range(ned):
+                ids[lat(1 + jx, 1 + jy)] = base + jy * ned + jx
         x[e] = nodes[ids]
         corners[e] = [ev[0], ev[1], ev[3], ev[2]]
-    cp = x[:, [0, 2, 6, 8]]
-    m = from_arrays(corners, cp, 2, x_nodes=x)
+    cp = x[:, [0, n1 - 1, n1 * (n1 - 1), n1 * n1 - 1]]
+    m = from_arrays(corners, cp, order, x_nodes=x)
     return m.refine(rs_levels)
+
+
+def load_h1_quadratic_mesh(path: str, rs_levels: int = 0) -> GeneralMesh:
+    return load_h1_nodes_mesh(path, 2, rs_levels)
 
 
 def load_general_mesh(path: str, rs_levels: int = 0,
@@ -263,8 +304,11 @@ def load_general_mesh(path: str, rs_levels: int = 0,
     with open(path) as fh:
         header = fh.readline()
         dim_line = fh.read(400)
-    if "Quadratic" in open(path).read():
-        return load_h1_quadratic_mesh(path, rs_levels)
+    body = open(path).read()
+    if "FiniteElementCollection: Quadratic" in body:
+        return load_h1_nodes_mesh(path, 2, rs_levels)
+    if "FiniteElementCollection: Cubic" in body:
+        return load_h1_nodes_mesh(path, 3, rs_levels)
     if "NURBS" in header:
         if "dimension\n3" in dim_line.replace(" ", ""):
             from .nurbs import load_nurbs_mesh_3d
