@@ -220,6 +220,11 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
     """
     if isinstance(shard_grid, int):
         shard_grid = (shard_grid,)
+    if not getattr(mesh, "structured", True):
+        from .gsharded import make_general_sharded_step
+        return make_general_sharded_step(mesh, scfg, order,
+                                         int(np.prod(shard_grid)),
+                                         ode_solver, devices=devices)
     dim = mesh.dim
     k = len(shard_grid)
     lmesh = local_mesh_of(mesh, shard_grid)

@@ -1,0 +1,63 @@
+"""Sharded general (unstructured / curved / periodic-table) meshes must
+reproduce the unsharded results to round-off, for both bounds stencils,
+transport and remap, on an 8-device mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from remhos_tpu.config import RunConfig
+from remhos_tpu.driver import run
+
+DATA = os.environ.get("REMHOS_REF_DATA", "/root/reference/data")
+UNSTR = os.path.join(DATA, "unstr.mesh")
+HEX = os.path.join(DATA, "periodic-hexagon.mesh")
+STARQ2 = os.path.join(DATA, "star-q2.mesh")
+
+needs_data = pytest.mark.skipif(not os.path.exists(UNSTR),
+                                reason="no reference data")
+
+
+def _pair(cfg_kw):
+    r1 = run(RunConfig(verbose=False, **cfg_kw))
+    r8 = run(RunConfig(verbose=False, n_shards=8, **cfg_kw))
+    return r1, r8
+
+
+@needs_data
+@pytest.mark.parametrize("bt", [0, 1])
+def test_unstr_sharded_matches(bt):
+    # 888 elements after one refinement -> 111 per shard
+    r1, r8 = _pair(dict(mesh=UNSTR, problem=1, rs_levels=1, order=2,
+                        dt=0.02, t_final=0.08, ho=3, lo=3, fct=2,
+                        bounds_type=bt))
+    assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13 * abs(
+        r1.final_mass_u)
+    assert abs(r1.max_u - r8.max_u) < 1e-13
+
+
+@needs_data
+def test_hexagon_periodic_sharded_matches():
+    r1, r8 = _pair(dict(mesh=HEX, problem=5, rs_levels=2, order=3,
+                        dt=0.005, t_final=0.02, ho=3, lo=2, fct=2))
+    assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13 * abs(
+        r1.final_mass_u)
+    assert abs(r1.max_u - r8.max_u) < 1e-13
+
+
+@needs_data
+def test_star_q2_curved_remap_sharded_matches():
+    r1, r8 = _pair(dict(mesh=STARQ2, problem=14, rs_levels=1, order=3,
+                        dt=0.005, t_final=0.02, ho=3, lo=5, fct=2))
+    assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13 * abs(
+        r1.final_mass_u)
+    assert abs(r1.max_u - r8.max_u) < 1e-13
+
+
+@needs_data
+def test_sharded_general_rejects_subcell():
+    with pytest.raises(NotImplementedError):
+        run(RunConfig(mesh=UNSTR, problem=1, rs_levels=1, order=2,
+                      dt=0.02, t_final=0.04, ho=3, lo=4, fct=2,
+                      n_shards=8, verbose=False))
