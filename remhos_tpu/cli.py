@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-no-vis", "--no-visualization", action="store_false", dest="vis")
     a("-save", "--save-meshes-and-solution", action="store_true", dest="save")
     a("-shards", "--n-shards", type=int, default=1, dest="n_shards")
+    a("-dcn", "--dcn-outer-axis", action="store_true", dest="dcn",
+      help="order devices slice-major: outer shard axis crosses the DCN "
+           "on multi-slice TPU deployments")
     a("-d", "--device", default="default",
       help="jax platform: default|cpu|tpu")
     a("-fp32", "--float32", action="store_true", dest="fp32")
@@ -87,7 +90,7 @@ def main(argv=None) -> int:
         t_final=args.t_final, dt_control=args.dt_control, dt=args.dt,
         max_tsteps=args.max_tsteps, product_sync=args.product_sync,
         vis_steps=args.vis_steps, verify_bounds=args.verify_bounds,
-        n_shards=args.n_shards,
+        n_shards=args.n_shards, dcn=args.dcn,
         checkpoint_path=args.checkpoint_path,
         checkpoint_steps=args.checkpoint_steps, resume=args.resume,
         save=args.save, visit=args.visit,

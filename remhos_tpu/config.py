@@ -35,6 +35,7 @@ class RunConfig:
     vis_steps: int = 100             # -vs
     n_shards: int = 1                # sharding over the TPU mesh element axis
     shard_grid: tuple = None         # k-D device mesh over the last k axes
+    dcn: bool = False                # slice-major device order (multi-slice)
     checkpoint_path: str = ""        # checkpoint/resume (new vs reference)
     checkpoint_steps: int = 0        # save every N steps (0 = off)
     resume: bool = False

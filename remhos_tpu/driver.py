@@ -140,7 +140,7 @@ def run(cfg: RunConfig) -> RunResult:
     if shard_grid is not None:
         from .parallel.sharded import make_sharded_step, shard_arrays
         dev_mesh, sharded_step, perm = make_sharded_step(
-            mesh, scfg, cfg.order, shard_grid, cfg.ode_solver)
+            mesh, scfg, cfg.order, shard_grid, cfg.ode_solver, dcn=cfg.dcn)
         v_arr = (v_nodes if v_nodes is not None
                  else jnp.zeros_like(x0_nodes))
         infl_arr = (inflow_vals if inflow_vals is not None

@@ -36,6 +36,25 @@ from ..operator import Advection, SolverConfig
 from . import halo
 
 
+def order_devices_for_dcn(devices=None):
+    """Sort devices slice-major (slice_index outermost, then id).
+
+    On a multi-slice TPU deployment the OUTER axis of the device mesh then
+    crosses the DCN while all inner axes stay on ICI; combined with
+    shard_axes_spec (which puts the LAST mesh axis outermost), the
+    largest-block, lowest-frequency halo ring rides DCN and the
+    fine-grained rings ride ICI — the multi-slice scaling pattern of
+    SURVEY §2c(d).  Single-slice (and CPU) devices have no slice_index and
+    the order reduces to id order."""
+    if devices is None:
+        devices = jax.devices()
+
+    def key(d):
+        return (getattr(d, "slice_index", 0) or 0, d.id)
+
+    return sorted(devices, key=key)
+
+
 def shard_axes_spec(dim: int, shard_grid):
     """[(mesh_axis, device_axis_name, n)] for the last k mesh axes; device
     axes ordered outermost (last mesh axis) first."""
@@ -211,15 +230,20 @@ class ShardedAdvection(Advection):
 
 
 def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
-                      shard_grid, ode_solver: int, devices=None):
+                      shard_grid, ode_solver: int, devices=None,
+                      dcn: bool = False):
     """Build (device_mesh, jitted step, perm) for element-sharded execution.
 
     shard_grid: int (1D, last mesh axis) or tuple over the last k mesh axes.
     step(S, t, dt, x0, v, inflow) -> (S_new, dt_ratio), all element arrays
     in shard-block-major order (see block_permutation).
+    dcn: order devices slice-major so the outer device axis crosses the
+    DCN on multi-slice deployments (no-op on a single slice).
     """
     if isinstance(shard_grid, int):
         shard_grid = (shard_grid,)
+    if dcn:
+        devices = order_devices_for_dcn(devices)
     if not getattr(mesh, "structured", True):
         from .gsharded import make_general_sharded_step
         return make_general_sharded_step(mesh, scfg, order,

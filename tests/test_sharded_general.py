@@ -61,3 +61,15 @@ def test_sharded_general_rejects_subcell():
         run(RunConfig(mesh=UNSTR, problem=1, rs_levels=1, order=2,
                       dt=0.02, t_final=0.04, ho=3, lo=4, fct=2,
                       n_shards=8, verbose=False))
+
+
+@needs_data
+def test_dcn_device_order_single_slice_identical():
+    """-dcn orders devices slice-major; on single-slice (CPU) platforms it
+    reduces to id order and must not change results."""
+    kw = dict(mesh=UNSTR, problem=1, rs_levels=1, order=2, dt=0.02,
+              t_final=0.04, ho=3, lo=3, fct=2, n_shards=8)
+    r = run(RunConfig(verbose=False, **kw))
+    rd = run(RunConfig(verbose=False, dcn=True, **kw))
+    assert r.final_mass_u == rd.final_mass_u
+    assert r.max_u == rd.max_u
