@@ -372,3 +372,13 @@ class TestConvergence:
         r1 = _run(mesh="periodic-square", problem=4, rs_levels=1, order=2,
                   dt=0.01, t_final=4.0, max_tsteps=60, ho=3, lo=5, fct=2)
         assert r1.l1_error >= 0.0   # diagnostic computed
+
+
+def test_models_registry():
+    from remhos_tpu.models import get_case, CASES
+    from remhos_tpu.driver import run as _run
+    assert len(CASES) >= 10
+    cfg = get_case("transport-ballsjacks", rs_levels=1, t_final=0.02,
+                   ho=3, lo=1, fct=1, verbose=False)
+    r = _run(cfg)
+    assert r.mass_loss_u < 1e-11
