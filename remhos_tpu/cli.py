@@ -89,7 +89,8 @@ def main(argv=None) -> int:
         bounds_type=args.bounds_type, pa=args.pa, smth_ind=args.smth_ind,
         t_final=args.t_final, dt_control=args.dt_control, dt=args.dt,
         max_tsteps=args.max_tsteps, product_sync=args.product_sync,
-        vis_steps=args.vis_steps, verify_bounds=args.verify_bounds,
+        vis_steps=args.vis_steps, vis=args.vis,
+        verify_bounds=args.verify_bounds,
         n_shards=args.n_shards, dcn=args.dcn,
         checkpoint_path=args.checkpoint_path,
         checkpoint_steps=args.checkpoint_steps, resume=args.resume,

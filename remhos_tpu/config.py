@@ -42,6 +42,9 @@ class RunConfig:
     save: bool = False               # -save: write final mesh+solution
     visit: bool = False              # -visit: periodic solution snapshots
     visit_prefix: str = "remhos"
+    vis: bool = False                # -vis: GLVis live socket streaming
+    vis_host: str = "localhost"
+    vis_port: int = 19916
     use_pallas: bool = False         # fused Pallas kernels (TPU remap PA)
     dtype: str = "float64"
     verbose: bool = True

@@ -245,6 +245,13 @@ def run(cfg: RunConfig) -> RunResult:
             import numpy as _np
             _np.savez(f"{cfg.visit_prefix}_{ti:06d}.npz",
                       u=_np.asarray(S[0]), t=t, ti=ti)
+        if cfg.vis and (done or ti % cfg.vis_steps == 0):
+            from . import vis as vism
+            u_rep = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]
+            x_now = (x0_nodes + t * v_nodes) if exec_mode == 1 else x0_nodes
+            vism.glvis_stream(mesh, x_now, u_rep, cfg.order,
+                              host=cfg.vis_host, port=cfg.vis_port,
+                              title="Solution u")
     wall = time.perf_counter() - wall0
     if shard_grid is not None:
         # back to the global element order for reporting / output
@@ -298,12 +305,20 @@ def run(cfg: RunConfig) -> RunResult:
 
     if cfg.save:
         import numpy as _np
+
+        from . import vis as vism
         x_final = (x0_nodes + t * v_nodes) if exec_mode == 1 else x0_nodes
         _np.savez("sltn_final.npz", u=_np.asarray(S[0]),
                   x=_np.asarray(x_final), t=t,
-                  shape=_np.asarray(mesh.shape))
+                  shape=_np.asarray(mesh.shape
+                                    if getattr(mesh, "structured", True)
+                                    else (mesh.num_elements,)))
+        # the reference's artifacts (remhos.cpp:1365-1380): MFEM-format
+        # mesh + grid function, loadable by GLVis and by our own loader
+        vism.save_final(mesh, x_final, S[0], cfg.order)
         if cfg.verbose:
-            print("Saved final solution to sltn_final.npz")
+            print("Saved final solution to meshHO_final.mesh / "
+                  "sltn_final.gf (+ sltn_final.npz)")
 
     if cfg.problem == 7 and cfg.verbose:
         # append L1/L2/Linf errors like the reference (remhos.cpp:1452-1469)

@@ -325,20 +325,33 @@ def load_general_mesh(path: str, rs_levels: int = 0,
         ev = parsed["elem_verts"]               # MFEM hex (v0..v7)
         corners = ev[:, [0, 1, 3, 2, 4, 5, 7, 6]]   # -> lex corner order
         if "l2_nodes" in parsed:
-            assert parsed["l2_order"] == 1
-            corner_pos = parsed["l2_nodes"]
-        else:
-            corner_pos = parsed["verts"][corners]
+            k = parsed["l2_order"]
+            xn = np.asarray(parsed["l2_nodes"], np.float64)
+            n1 = k + 1
+            c2 = [0, n1 - 1, n1 * (n1 - 1), n1 * n1 - 1]
+            cids = c2 + [c + n1 * n1 * (n1 - 1) for c in c2]
+            corner_pos = xn[:, cids]
+            return from_arrays_3d(corners, corner_pos,
+                                  k if k > 1 else mesh_order,
+                                  x_nodes=xn if k > 1 else None
+                                  ).refine(rs_levels)
+        corner_pos = parsed["verts"][corners]
         return from_arrays_3d(corners, corner_pos,
                               mesh_order).refine(rs_levels)
     ev = parsed["elem_verts"]                   # MFEM ccw (v0,v1,v2,v3)
     corners = ev[:, [0, 1, 3, 2]]               # -> lex corner order
     if "l2_nodes" in parsed:
-        # per-element P1 nodes, lex order == our corner order
-        assert parsed["l2_order"] == 1
-        corner_pos = parsed["l2_nodes"]
-    else:
-        corner_pos = parsed["verts"][corners]
+        # per-element GLL-lattice nodes (periodic / curved L2-nodes mesh)
+        k = parsed["l2_order"]
+        xn = np.asarray(parsed["l2_nodes"], np.float64)
+        n1 = k + 1
+        cids = [0, n1 - 1, n1 * (n1 - 1), n1 * n1 - 1]
+        corner_pos = xn[:, cids]
+        m = from_arrays(np.asarray(corners, np.int64), corner_pos,
+                        k if k > 1 else mesh_order,
+                        x_nodes=xn if k > 1 else None)
+        return m.refine(rs_levels)
+    corner_pos = parsed["verts"][corners]
     m = from_arrays(np.asarray(corners, np.int64),
                     np.asarray(corner_pos, np.float64), mesh_order)
     return m.refine(rs_levels)

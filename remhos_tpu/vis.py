@@ -1,0 +1,125 @@
+"""MFEM-format output and GLVis streaming.
+
+The reference writes `meshHO_final.mesh` / `sltn_final.gf` via
+Mesh::PrintAsOne + GridFunction::SaveAsOne (remhos.cpp:1365-1380) and
+streams fields to a live GLVis server (VisualizeField,
+remhos_tools.cpp:1489-1537).  This module produces the same artifacts:
+
+- meshes are serialized as "MFEM mesh v1.0" with a per-element L2
+  (Gauss-Lobatto lattice) nodes GridFunction — always valid, including
+  periodic, curved, and mid-remap moved meshes, and exactly the layout
+  our native parser reads back (native/remhos_tables.cpp:241-273);
+- solutions as Bernstein (Positive, BasisType 2) L2 GridFunctions in
+  MFEM's element-major lex dof order;
+- glvis_stream() speaks the GLVis socket protocol
+  ("solution\\n<mesh><gf>") to a running server, failing quietly when
+  none is listening (matching the reference's warn-and-continue).
+"""
+
+from __future__ import annotations
+
+import socket
+
+import numpy as np
+
+
+def _structured_corner_ids(mesh):
+    """[E, 2^dim] lattice vertex ids (periodic axes wrap), lex corners."""
+    shape = mesh.shape
+    dim = mesh.dim
+    nv_ax = [shape[a] + (0 if mesh.periodic[a] else 1) for a in range(dim)]
+    idx = [np.arange(shape[a]) for a in range(dim)]
+    grids = np.meshgrid(*idx, indexing="ij")     # [ax][x,y,z] element coords
+    E = mesh.num_elements
+    out = np.zeros((E, 2 ** dim), np.int64)
+    # flat element order: x fastest
+    eflat = np.zeros_like(grids[0])
+    mul = 1
+    for a in range(dim):
+        eflat = eflat + grids[a] * mul
+        mul *= shape[a]
+    for c in range(2 ** dim):
+        vid = np.zeros_like(grids[0])
+        mul = 1
+        for a in range(dim):
+            bit = (c >> a) & 1
+            coord = (grids[a] + bit) % nv_ax[a] if mesh.periodic[a] \
+                else grids[a] + bit
+            vid = vid + coord * mul
+            mul *= nv_ax[a]
+        out[eflat.reshape(-1), c] = vid.reshape(-1)
+    return out, int(np.prod(nv_ax))
+
+
+def _corner_table(mesh):
+    if getattr(mesh, "structured", True):
+        return _structured_corner_ids(mesh)
+    corners = np.asarray(mesh.corners, np.int64)
+    return corners, int(corners.max()) + 1
+
+
+_GEOM = {2: 3, 3: 5}                 # MFEM geometry ids: SQUARE, CUBE
+_MFEM_VERT = {2: [0, 1, 3, 2],       # lex corner -> MFEM ccw quad
+              3: [0, 1, 3, 2, 4, 5, 7, 6]}   # lex -> MFEM hex
+
+
+def mfem_mesh_text(mesh, x_nodes) -> str:
+    """Serialize the mesh (geometry = x_nodes [E, nm, dim], per-element GLL
+    lattice) as MFEM mesh v1.0 with L2 nodes."""
+    dim = mesh.dim
+    corners, nv = _corner_table(mesh)
+    x = np.asarray(x_nodes, np.float64).reshape(mesh.num_elements, -1, dim)
+    k = round(x.shape[1] ** (1.0 / dim)) - 1
+    lines = ["MFEM mesh v1.0", "", "dimension", str(dim), "", "elements",
+             str(mesh.num_elements)]
+    vorder = _MFEM_VERT[dim]
+    for ev in corners:
+        lines.append("1 %d " % _GEOM[dim]
+                     + " ".join(str(int(ev[j])) for j in vorder))
+    lines += ["", "boundary", "0", "", "vertices", str(nv), "", "nodes",
+              "FiniteElementSpace",
+              f"FiniteElementCollection: L2_T1_{dim}D_P{k}",
+              f"VDim: {dim}", "Ordering: 1", ""]
+    for e in range(x.shape[0]):
+        for i in range(x.shape[1]):
+            lines.append(" ".join("%.16g" % v for v in x[e, i]))
+    return "\n".join(lines) + "\n"
+
+
+def gridfunction_text(u, p: int, dim: int) -> str:
+    """Serialize a Bernstein DG field [E, nd] as an MFEM GridFunction
+    (L2_T2 = BasisType::Positive; element-major lex dofs)."""
+    u = np.asarray(u, np.float64)
+    lines = ["FiniteElementSpace",
+             f"FiniteElementCollection: L2_T2_{dim}D_P{p}",
+             "VDim: 1", "Ordering: 0", ""]
+    lines += ["%.16g" % v for v in u.reshape(-1)]
+    return "\n".join(lines) + "\n"
+
+
+def save_final(mesh, x_nodes, u, p: int, mesh_path="meshHO_final.mesh",
+               sltn_path="sltn_final.gf"):
+    """The reference's -save artifacts (remhos.cpp:1365-1380)."""
+    with open(mesh_path, "w") as fh:
+        fh.write(mfem_mesh_text(mesh, x_nodes))
+    with open(sltn_path, "w") as fh:
+        fh.write(gridfunction_text(u, p, mesh.dim))
+
+
+def glvis_stream(mesh, x_nodes, u, p: int, host="localhost", port=19916,
+                 title="u", keys=None, timeout=0.5) -> bool:
+    """Send one solution frame to a GLVis server; True on success.
+
+    No server listening is not an error (the reference warns once and
+    disables visualization, remhos_tools.cpp:1520-1534)."""
+    payload = ("solution\n" + mfem_mesh_text(mesh, x_nodes)
+               + gridfunction_text(u, p, mesh.dim))
+    if keys:
+        payload += f"keys {keys}\n"
+    payload += f"window_title '{title}'\n"
+    try:
+        with socket.create_connection((host, port), timeout=timeout) as s:
+            s.sendall(payload.encode())
+        return True
+    except OSError:
+        return False

@@ -1,0 +1,99 @@
+"""MFEM-format output round-trip and GLVis streaming.
+
+The decisive writer test: serialize a structured mesh (with its L2
+lattice nodes) to MFEM mesh v1.0, reload it through the GENERAL mesh
+loader (native parser), run the same problem on both, and require
+identical results to round-off."""
+
+import os
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from remhos_tpu import vis as vism
+from remhos_tpu.config import RunConfig
+from remhos_tpu.driver import run
+from remhos_tpu.mesh import load_mesh
+
+
+def test_mesh_roundtrip_2d(tmp_path):
+    mesh = load_mesh("inline-quad", rs_levels=1)
+    txt = vism.mfem_mesh_text(mesh, mesh.x)
+    path = tmp_path / "rt2d.mesh"
+    path.write_text(txt)
+    r1 = run(RunConfig(mesh="inline-quad", problem=14, rs_levels=1, order=3,
+                       dt=0.01, t_final=0.05, ho=3, lo=5, fct=2,
+                       verbose=False))
+    r2 = run(RunConfig(mesh=str(path), problem=14, rs_levels=0, order=3,
+                       dt=0.01, t_final=0.05, ho=3, lo=5, fct=2,
+                       verbose=False))
+    assert abs(r1.final_mass_u - r2.final_mass_u) < 1e-13
+    assert abs(r1.max_u - r2.max_u) < 1e-13
+
+
+def test_mesh_roundtrip_3d(tmp_path):
+    mesh = load_mesh("cube01_hex", rs_levels=1)
+    path = tmp_path / "rt3d.mesh"
+    path.write_text(vism.mfem_mesh_text(mesh, mesh.x))
+    r1 = run(RunConfig(mesh="cube01_hex", problem=10, rs_levels=1, order=2,
+                       dt=0.02, t_final=0.06, ho=3, lo=1, fct=1,
+                       verbose=False))
+    r2 = run(RunConfig(mesh=str(path), problem=10, rs_levels=0, order=2,
+                       dt=0.02, t_final=0.06, ho=3, lo=1, fct=1,
+                       verbose=False))
+    assert abs(r1.final_mass_u - r2.final_mass_u) < 1e-13
+    assert abs(r1.max_u - r2.max_u) < 1e-13
+
+
+def test_save_final_artifacts(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run(RunConfig(mesh="inline-quad", problem=14, rs_levels=1, order=2,
+                  dt=0.01, t_final=0.02, ho=3, lo=5, fct=2, save=True,
+                  verbose=False))
+    mesh_txt = (tmp_path / "meshHO_final.mesh").read_text()
+    gf_txt = (tmp_path / "sltn_final.gf").read_text()
+    assert mesh_txt.startswith("MFEM mesh v1.0")
+    assert "L2_T1_2D_P2" in mesh_txt            # moved GLL geometry nodes
+    assert "L2_T2_2D_P2" in gf_txt              # Bernstein (Positive) field
+    nd = 9                                       # p=2, 2D
+    vals = gf_txt.split("Ordering: 0")[1].split()
+    assert len(vals) % nd == 0
+
+
+def test_glvis_stream_protocol():
+    """A mock GLVis server receives one frame; check the protocol header
+    and that a missing server is a quiet no-op."""
+    mesh = load_mesh("inline-quad", rs_levels=0)
+    u = np.zeros((mesh.num_elements, 16))
+    received = []
+    srv = socket.socket()
+    srv.bind(("localhost", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def accept():
+        conn, _ = srv.accept()
+        chunks = []
+        while True:
+            b = conn.recv(65536)
+            if not b:
+                break
+            chunks.append(b)
+        received.append(b"".join(chunks))
+        conn.close()
+
+    th = threading.Thread(target=accept)
+    th.start()
+    ok = vism.glvis_stream(mesh, mesh.x, u, 3, port=port)
+    th.join(timeout=5)
+    srv.close()
+    assert ok
+    text = received[0].decode()
+    assert text.startswith("solution\nMFEM mesh v1.0")
+    assert "L2_T2_2D_P3" in text
+    assert "window_title" in text
+
+    # no server -> quiet failure
+    assert vism.glvis_stream(mesh, mesh.x, u, 3, port=1) is False
