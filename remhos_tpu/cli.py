@@ -57,6 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-d", "--device", default="default",
       help="jax platform: default|cpu|tpu")
     a("-fp32", "--float32", action="store_true", dest="fp32")
+    a("-prof", "--profile-dir", default="", dest="profile_dir",
+      help="write a jax.profiler trace of the time loop to this directory")
     a("-chk", "--checkpoint-path", default="", dest="checkpoint_path")
     a("-chks", "--checkpoint-steps", type=int, default=0,
       dest="checkpoint_steps")
@@ -90,6 +92,7 @@ def main(argv=None) -> int:
         t_final=args.t_final, dt_control=args.dt_control, dt=args.dt,
         max_tsteps=args.max_tsteps, product_sync=args.product_sync,
         vis_steps=args.vis_steps, vis=args.vis,
+        profile_dir=args.profile_dir,
         verify_bounds=args.verify_bounds,
         n_shards=args.n_shards, dcn=args.dcn,
         checkpoint_path=args.checkpoint_path,

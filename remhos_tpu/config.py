@@ -45,6 +45,7 @@ class RunConfig:
     vis: bool = False                # -vis: GLVis live socket streaming
     vis_host: str = "localhost"
     vis_port: int = 19916
+    profile_dir: str = ""            # -prof: jax.profiler trace of the loop
     use_pallas: bool = False         # fused Pallas kernels (TPU remap PA)
     dtype: str = "float64"
     verbose: bool = True

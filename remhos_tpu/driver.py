@@ -190,6 +190,13 @@ def run(cfg: RunConfig) -> RunResult:
     u_max_glob = float(S[0].max())
     u_min_glob = float(S[0].min())
     wall0 = time.perf_counter()
+    # rem.mainloop trace (the reference's Caliper loop annotation,
+    # remhos.cpp:1143-1150; here a jax.profiler trace viewable in
+    # TensorBoard / xprof)
+    prof = None
+    if cfg.profile_dir:
+        prof = jax.profiler.trace(cfg.profile_dir)
+        prof.__enter__()
     while not done:
         dt_real = min(dt, t_final - t)
         S_new, ratio = step(S, t, dt_real)
@@ -252,6 +259,10 @@ def run(cfg: RunConfig) -> RunResult:
             vism.glvis_stream(mesh, x_now, u_rep, cfg.order,
                               host=cfg.vis_host, port=cfg.vis_port,
                               title="Solution u")
+    if prof is not None:
+        prof.__exit__(None, None, None)
+        if cfg.verbose:
+            print(f"Profiler trace written to {cfg.profile_dir}")
     wall = time.perf_counter() - wall0
     if shard_grid is not None:
         # back to the global element order for reporting / output
