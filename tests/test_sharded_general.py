@@ -12,7 +12,6 @@ count differs."""
 
 import os
 
-import numpy as np
 import pytest
 
 from remhos_tpu.config import RunConfig

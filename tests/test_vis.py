@@ -10,7 +10,6 @@ import socket
 import threading
 
 import numpy as np
-import pytest
 
 from remhos_tpu import vis as vism
 from remhos_tpu.config import RunConfig
