@@ -172,12 +172,10 @@ def run(cfg: RunConfig) -> RunResult:
     ti_total = 0
     done = False
     if cfg.resume and cfg.checkpoint_path:
-        import numpy as _np
-        ck = _np.load(cfg.checkpoint_path)
-        S = jnp.asarray(ck["S"])
-        t = float(ck["t"])
-        dt = float(ck["dt"])
-        ti = ti_total = int(ck["ti"])
+        from . import checkpoint as ckpt
+        S_ck, t, dt, ti = ckpt.load_state(cfg.checkpoint_path)
+        S = jnp.asarray(S_ck)
+        ti_total = ti
         if cfg.verbose:
             print(f"Resumed from {cfg.checkpoint_path} at step {ti}, t={t:g}")
         if shard_grid is not None:
@@ -240,9 +238,8 @@ def run(cfg: RunConfig) -> RunResult:
             u_max_glob, u_min_glob = u_max_new, u_min_new
         if cfg.checkpoint_steps and cfg.checkpoint_path and \
                 ti % cfg.checkpoint_steps == 0:
-            import numpy as _np
-            _np.savez(cfg.checkpoint_path, S=_np.asarray(S), t=t, dt=dt,
-                      ti=ti)
+            from . import checkpoint as ckpt
+            ckpt.save_state(cfg.checkpoint_path, S, t, dt, ti)
         if ti_total == cfg.max_tsteps:
             done = True
         if cfg.verbose and (done or ti % cfg.vis_steps == 0):

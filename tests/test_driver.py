@@ -258,6 +258,17 @@ class TestCLIAndExtras:
         assert abs(r_full.final_mass_u - r_res.final_mass_u) < 1e-14
         assert abs(r_full.max_u - r_res.max_u) < 1e-14
 
+    def test_checkpoint_resume_orbax(self, tmp_path):
+        # non-.npz path -> orbax PyTreeCheckpointer directory backend
+        ck = str(tmp_path / "ckpt_dir")
+        kw = dict(mesh="inline-quad", problem=14, rs_levels=1, order=2,
+                  dt=0.0015, t_final=0.75, ho=3, lo=5, fct=2, verbose=False)
+        r_full = _run(max_tsteps=8, **kw)
+        _run(max_tsteps=4, checkpoint_path=ck, checkpoint_steps=4, **kw)
+        r_res = _run(max_tsteps=8, checkpoint_path=ck, resume=True, **kw)
+        assert abs(r_full.final_mass_u - r_res.final_mass_u) < 1e-14
+        assert abs(r_full.max_u - r_res.max_u) < 1e-14
+
     def test_verify_bounds_mode(self):
         r = _run(mesh="periodic-square", problem=4, rs_levels=1, order=2,
                  dt=0.005, t_final=0.02, ho=3, lo=5, fct=2,
