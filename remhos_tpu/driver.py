@@ -179,9 +179,18 @@ def run(cfg: RunConfig) -> RunResult:
         if cfg.verbose:
             print(f"Resumed from {cfg.checkpoint_path} at step {ti}, t={t:g}")
         if shard_grid is not None:
+            # checkpoints store S in GLOBAL element order (see save below),
+            # so any shard grid can resume any checkpoint
+            S = S[:, jnp.asarray(perm)]
             S = jax.device_put(S, jax.sharding.NamedSharding(
                 dev_mesh,
                 jax.sharding.PartitionSpec(None, dev_mesh.axis_names)))
+    if cfg.visit and ti == 0:
+        # initial-state collection save (remhos.cpp:1040-1043)
+        from . import vis as vism
+        u_out = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]
+        vism.visit_save(cfg.visit_prefix, mesh, x0_nodes, u_out, cfg.order,
+                        0.0, 0)
     steady = cfg.problem in (6, 7, 8)
     res_prev = S[0]
     residual = 0.0
@@ -218,7 +227,9 @@ def run(cfg: RunConfig) -> RunResult:
         if not steady:
             done = t >= t_final - 1e-8 * dt
         else:
-            diff = (masses * S[0] - masses * res_prev) / dt_real
+            # reference divides by the current (post-dt-control) dt,
+            # remhos.cpp:1287 — not by the t_final-clamped dt_real
+            diff = (masses * S[0] - masses * res_prev) / dt
             residual = float(jnp.sqrt((diff * diff).sum()))
             if residual < 1e-12 and t >= 1.0:
                 done = True
@@ -239,16 +250,19 @@ def run(cfg: RunConfig) -> RunResult:
         if cfg.checkpoint_steps and cfg.checkpoint_path and \
                 ti % cfg.checkpoint_steps == 0:
             from . import checkpoint as ckpt
-            ckpt.save_state(cfg.checkpoint_path, S, t, dt, ti)
+            S_ck = S if shard_grid is None else S[:, jnp.asarray(inv_perm)]
+            ckpt.save_state(cfg.checkpoint_path, S_ck, t, dt, ti)
         if ti_total == cfg.max_tsteps:
             done = True
         if cfg.verbose and (done or ti % cfg.vis_steps == 0):
             print(f"time step: {ti}, time: {t:.6g}, dt: {dt:.6g}, "
                   f"residual: {residual:.6g}")
         if cfg.visit and (done or ti % cfg.vis_steps == 0):
-            import numpy as _np
-            _np.savez(f"{cfg.visit_prefix}_{ti:06d}.npz",
-                      u=_np.asarray(S[0]), t=t, ti=ti)
+            u_out = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]
+            x_now = (x0_nodes + t * v_nodes) if exec_mode == 1 else x0_nodes
+            from . import vis as vism
+            vism.visit_save(cfg.visit_prefix, mesh, x_now, u_out, cfg.order,
+                            t, ti)
         if cfg.vis and (done or ti % cfg.vis_steps == 0):
             from . import vis as vism
             u_rep = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]

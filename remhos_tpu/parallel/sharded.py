@@ -243,7 +243,9 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
     if isinstance(shard_grid, int):
         shard_grid = (shard_grid,)
     if dcn:
-        devices = order_devices_for_dcn(devices)
+        # keep exactly prod(shard_grid) devices after slice-major ordering —
+        # the Mesh reshape below requires the exact count
+        devices = order_devices_for_dcn(devices)[:int(np.prod(shard_grid))]
     if not getattr(mesh, "structured", True):
         from .gsharded import make_general_sharded_step
         return make_general_sharded_step(mesh, scfg, order,

@@ -58,8 +58,9 @@ def _corner_table(mesh):
     return corners, int(corners.max()) + 1
 
 
-_GEOM = {2: 3, 3: 5}                 # MFEM geometry ids: SQUARE, CUBE
-_MFEM_VERT = {2: [0, 1, 3, 2],       # lex corner -> MFEM ccw quad
+_GEOM = {1: 1, 2: 3, 3: 5}           # MFEM geometry ids: SEGMENT, SQUARE, CUBE
+_MFEM_VERT = {1: [0, 1],             # segment endpoints
+              2: [0, 1, 3, 2],       # lex corner -> MFEM ccw quad
               3: [0, 1, 3, 2, 4, 5, 7, 6]}   # lex -> MFEM hex
 
 
@@ -104,6 +105,40 @@ def save_final(mesh, x_nodes, u, p: int, mesh_path="meshHO_final.mesh",
         fh.write(mfem_mesh_text(mesh, x_nodes))
     with open(sltn_path, "w") as fh:
         fh.write(gridfunction_text(u, p, mesh.dim))
+
+
+def visit_save(prefix, mesh, x_nodes, u, p: int, t: float, cycle: int,
+               field_name="solution"):
+    """VisItDataCollection-format snapshot (remhos.cpp:1036-1043, 1324-1328):
+
+    - ``<prefix>_<cycle:06d>.mfem_root`` — JSON root file
+    - ``<prefix>_<cycle:06d>/mesh.000000`` — MFEM mesh (current node positions)
+    - ``<prefix>_<cycle:06d>/<field>.000000`` — MFEM GridFunction
+
+    the single-domain layout VisIt's MFEM reader (and GLVis) load directly.
+    """
+    import json
+    import os
+
+    dirname = f"{prefix}_{cycle:06d}"
+    os.makedirs(dirname, exist_ok=True)
+    with open(os.path.join(dirname, "mesh.000000"), "w") as fh:
+        fh.write(mfem_mesh_text(mesh, x_nodes))
+    with open(os.path.join(dirname, f"{field_name}.000000"), "w") as fh:
+        fh.write(gridfunction_text(u, p, mesh.dim))
+    base = os.path.basename(dirname)
+    root = {"dsets": {"main": {
+        "cycle": int(cycle), "time": float(t), "time_step": 0.0,
+        "domains": 1,
+        "mesh": {"path": f"{base}/mesh.%06d",
+                 "tags": {"comments": "", "format": "MFEM mesh v1.0",
+                          "size": "1", "spatial_dim": str(mesh.dim),
+                          "topo_dim": str(mesh.dim), "max_lods": "32"}},
+        "fields": {field_name: {"path": f"{base}/{field_name}.%06d",
+                                "tags": {"assoc": "nodes", "comps": "1",
+                                         "lod": str(max(p, 1))}}}}}}
+    with open(dirname + ".mfem_root", "w") as fh:
+        json.dump(root, fh, indent=3)
 
 
 def glvis_stream(mesh, x_nodes, u, p: int, host="localhost", port=19916,

@@ -96,3 +96,62 @@ def test_glvis_stream_protocol():
 
     # no server -> quiet failure
     assert vism.glvis_stream(mesh, mesh.x, u, 3, port=1) is False
+
+
+def test_visit_datacollection(tmp_path, monkeypatch):
+    """-visit writes VisItDataCollection layout (remhos.cpp:1036-1043):
+    root JSON + per-cycle directory with MFEM mesh/field files."""
+    import json
+
+    monkeypatch.chdir(tmp_path)
+    run(RunConfig(mesh="inline-quad", problem=14, rs_levels=1, order=2,
+                  dt=0.01, t_final=0.03, ho=3, lo=5, fct=2, visit=True,
+                  visit_prefix="Remhos", vis_steps=2, verbose=False))
+    root0 = tmp_path / "Remhos_000000.mfem_root"
+    assert root0.exists()                        # cycle-0 initial save
+    roots = sorted(tmp_path.glob("Remhos_*.mfem_root"))
+    assert len(roots) >= 2
+    meta = json.loads(roots[-1].read_text())
+    main = meta["dsets"]["main"]
+    assert main["domains"] == 1
+    assert "solution" in main["fields"]
+    base = roots[-1].name.replace(".mfem_root", "")
+    mesh_txt = (tmp_path / base / "mesh.000000").read_text()
+    gf_txt = (tmp_path / base / "solution.000000").read_text()
+    assert mesh_txt.startswith("MFEM mesh v1.0")
+    assert "L2_T2_2D_P2" in gf_txt
+
+
+def test_save_final_1d(tmp_path, monkeypatch):
+    """1D runs can write MFEM segment meshes (geometry id 1)."""
+    monkeypatch.chdir(tmp_path)
+    run(RunConfig(mesh="periodic-segment", problem=0, rs_levels=2, order=3,
+                  dt=0.005, t_final=0.02, ho=3, lo=5, fct=2, save=True,
+                  verbose=False))
+    mesh_txt = (tmp_path / "meshHO_final.mesh").read_text()
+    gf_txt = (tmp_path / "sltn_final.gf").read_text()
+    assert "L2_T1_1D_P" in mesh_txt              # segment GLL geometry nodes
+    assert "L2_T2_1D_P3" in gf_txt               # Bernstein field
+    elem_lines = mesh_txt.split("elements\n")[1].splitlines()
+    assert elem_lines[1].startswith("1 1 ")      # attr 1, SEGMENT geometry
+
+
+def test_checkpoint_global_order_across_shardings(tmp_path):
+    """Checkpoints store S in GLOBAL element order: a checkpoint written by
+    a 2-shard run resumes bit-compatibly in an unsharded run."""
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(mesh="inline-quad", problem=14, rs_levels=1, order=2,
+              dt=0.0015, t_final=0.75, ho=3, lo=5, fct=2, verbose=False)
+    r_full = run(RunConfig(max_tsteps=8, **kw))
+    run(RunConfig(max_tsteps=4, checkpoint_path=ck, checkpoint_steps=4,
+                  n_shards=2, **kw))
+    r_res = run(RunConfig(max_tsteps=8, checkpoint_path=ck, resume=True,
+                          **kw))
+    assert abs(r_full.final_mass_u - r_res.final_mass_u) < 1e-13
+    assert abs(r_full.max_u - r_res.max_u) < 1e-13
+    # and the reverse: unsharded checkpoint into a 2-shard resume
+    run(RunConfig(max_tsteps=4, checkpoint_path=ck, checkpoint_steps=4,
+                  **kw))
+    r_res2 = run(RunConfig(max_tsteps=8, checkpoint_path=ck, resume=True,
+                           n_shards=2, **kw))
+    assert abs(r_full.final_mass_u - r_res2.final_mass_u) < 1e-13
