@@ -63,14 +63,14 @@ def main():
         ok = True
         msgs = []
         # printed at 10 significant digits in the baseline
-        if "mass" in row and not rel_close(r.final_mass_u, row["mass"], 5e-9):
+        if "mass" in row and not rel_close(r.final_mass_u, row["mass"], 5e-10):
             ok = False
             msgs.append(f"mass {r.final_mass_u:.10g} != {row['mass']:.10g}")
-        if "max" in row and not rel_close(r.max_u, row["max"], 5e-9):
+        if "max" in row and not rel_close(r.max_u, row["max"], 5e-10):
             ok = False
             msgs.append(f"max {r.max_u:.10g} != {row['max']:.10g}")
         if "mass_us" in row and not rel_close(r.final_mass_us, row["mass_us"],
-                                              5e-9):
+                                              5e-10):
             ok = False
             msgs.append(f"mass_us {r.final_mass_us:.10g} != "
                         f"{row['mass_us']:.10g}")
