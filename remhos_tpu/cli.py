@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-vb", "--verify-bounds", action="store_true", dest="verify_bounds")
     a("-no-vb", "--no-verify-bounds", action="store_false",
       dest="verify_bounds")
+    a("-um", "--use-masks", action="store_true", dest="use_masks",
+      help="IDP stage masks for product remap (RKIDPSolver::UseMask; the "
+           "reference driver runs with masks off, remhos.cpp:502-506)")
     a("-vis", "--visualization", action="store_true", dest="vis")
     a("-no-vis", "--no-visualization", action="store_false", dest="vis")
     a("-save", "--save-meshes-and-solution", action="store_true", dest="save")
@@ -67,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-no-visit", "--no-visit-datafiles", action="store_false", dest="visit")
     p.set_defaults(pa=False, product_sync=False, verify_bounds=False,
                    vis=False, fp32=False, save=False, resume=False,
-                   visit=False)
+                   visit=False, use_masks=False)
     return p
 
 
@@ -93,7 +96,7 @@ def main(argv=None) -> int:
         max_tsteps=args.max_tsteps, product_sync=args.product_sync,
         vis_steps=args.vis_steps, vis=args.vis,
         profile_dir=args.profile_dir,
-        verify_bounds=args.verify_bounds,
+        verify_bounds=args.verify_bounds, use_masks=args.use_masks,
         n_shards=args.n_shards, dcn=args.dcn,
         checkpoint_path=args.checkpoint_path,
         checkpoint_steps=args.checkpoint_steps, resume=args.resume,

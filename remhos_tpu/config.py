@@ -31,6 +31,7 @@ class RunConfig:
     dt: float = 0.005                # -dt
     max_tsteps: int = -1             # -ms
     verify_bounds: bool = False      # -vb
+    use_masks: bool = False          # -um: IDP stage masks (UseMask)
     product_sync: bool = False       # -ps
     vis_steps: int = 100             # -vs
     n_shards: int = 1                # sharding over the TPU mesh element axis

@@ -61,7 +61,18 @@ def _integrate_mesh_velocity(x0, Bm_self, problem, bb_min, bb_max, t_final,
     return x - jnp.asarray(x0)
 
 
+def _echo_options(cfg: RunConfig):
+    """Full option echo for run-log reproducibility (the reference's
+    OptionsParser::PrintOptions, remhos.cpp:340)."""
+    import dataclasses as _dc
+    print("Options used:")
+    for f in _dc.fields(cfg):
+        print(f"   --{f.name} {getattr(cfg, f.name)}")
+
+
 def run(cfg: RunConfig) -> RunResult:
+    if cfg.verbose:
+        _echo_options(cfg)
     exec_mode = prob.exec_mode_of(cfg.problem)
 
     # --- mesh ---
@@ -97,7 +108,9 @@ def run(cfg: RunConfig) -> RunResult:
                         bounds_type=cfg.bounds_type,
                         dt_control=cfg.dt_control,
                         product_sync=cfg.product_sync,
-                        smth_ind=cfg.smth_ind, use_pallas=cfg.use_pallas)
+                        smth_ind=cfg.smth_ind, use_pallas=cfg.use_pallas,
+                        verify_bounds=cfg.verify_bounds,
+                        use_masks=cfg.use_masks)
 
     # inflow projection (remhos.cpp:626-636)
     inflow_vals = None
@@ -162,7 +175,9 @@ def run(cfg: RunConfig) -> RunResult:
     else:
         step = jax.jit(steppers.make_idp_step(adv.mult_unlimited,
                                               adv.limit_mult,
-                                              cfg.ode_solver))
+                                              cfg.ode_solver,
+                                              compute_mask=adv.compute_mask,
+                                              use_masks=cfg.use_masks))
 
     # --- time loop (remhos.cpp:1146-1330) ---
     if shard_grid is not None:
@@ -206,11 +221,21 @@ def run(cfg: RunConfig) -> RunResult:
         prof.__enter__()
     while not done:
         dt_real = min(dt, t_final - t)
-        S_new, ratio = step(S, t, dt_real)
+        S_new, aux = step(S, t, dt_real)   # aux = [dt_ratio, -violations]
         ti += 1
         ti_total += 1
+        if cfg.verify_bounds:
+            # dof-level stage checks accumulated inside the step
+            # (check_violation remhos.cpp:1824-1837 + FCT-internal product
+            # verification); raise like the reference's MFEM_ABORT
+            viol = -float(aux[1])
+            if viol > 0:
+                raise RuntimeError(
+                    f"-vb: {int(viol)} dof bounds violation(s) inside the "
+                    f"RK stages of step {ti} (t={t:g}); see "
+                    f"remhos_tpu/verify.py")
         if cfg.dt_control != 0:
-            r = float(ratio)
+            r = float(aux[0])
             if r < 1.0:
                 if cfg.verbose:
                     print(f"Repeat / decrease dt: {dt_real} --> {0.85 * dt}")

@@ -86,7 +86,9 @@ def calc_compatible_lo_product(us, m, d_us_HO, s_min, s_max, u_new,
                                active_el, active_dofs, dt):
     """Compatible LO product update and bound fixes (remhos_fct.cpp:26-119).
 
-    Returns (d_us_LO_new, s_min_fixed, s_max_fixed).
+    Returns (d_us_LO_new, s_min_fixed, s_max_fixed, s_avg_violations),
+    the last being the -vb s_avg stencil-bounds violation count
+    (remhos_fct.cpp:84-101); callers ignore it unless verify_bounds is on.
     """
     us_new_HO = us + dt * d_us_HO
     mass_us = jnp.where(active_el[:, None], us_new_HO * m, 0.0).sum(1)
@@ -103,6 +105,13 @@ def calc_compatible_lo_product(us, m, d_us_HO, s_min, s_max, u_new,
     s_avg = jnp.where((s_avg > smax) & (mass_us - EPS_PROD < smax * mass_u),
                       smax, s_avg)
 
+    # -vb: s_avg must sit in the full active-dof stencil bounds after the
+    # round-off fixes (remhos_fct.cpp:84-101)
+    from . import verify as vfy
+    has_active = active_dofs.any(axis=1)
+    viol = vfy.check_s_avg(mass_us, mass_u, s_avg, smin, smax,
+                           active_el & has_active)
+
     # widen local dof bounds to include s_avg (remhos_fct.cpp:103-106)
     sa = s_avg[:, None]
     widen = active_el[:, None] & active_dofs
@@ -111,7 +120,7 @@ def calc_compatible_lo_product(us, m, d_us_HO, s_min, s_max, u_new,
 
     d_us_LO_new = jnp.where(active_el[:, None],
                             (u_new * sa - us) / dt, 0.0)
-    return d_us_LO_new, s_min, s_max
+    return d_us_LO_new, s_min, s_max, viol
 
 
 def scale_product_bounds(s_min, s_max, u_new, active_el, active_dofs):

@@ -51,6 +51,8 @@ class SolverConfig:
     smth_ind: int = 0
     pa: bool = False     # matrix-free (partial assembly) hot path
     use_pallas: bool = False  # fused Pallas kernels (remap PA path, TPU)
+    verify_bounds: bool = False  # -vb dof-level stage checks (remhos.cpp:324)
+    use_masks: bool = False   # IDP stage masks (remhos_solvers.hpp:100)
 
     @property
     def exec_mode(self) -> int:
@@ -334,11 +336,20 @@ class Advection:
             outs.append(du)
         return jnp.stack(outs)
 
+    def _aux(self, ratio, viol):
+        """Pack the per-stage side channel: [dt_ratio, -violations].
+        Steppers combine stages with elementwise minimum, which takes the
+        min ratio AND the max violation count (negated); psum-free and
+        shape-stable whether or not -vb is active."""
+        return jnp.stack([ratio, -viol.astype(ratio.dtype)])
+
     def limit_mult(self, t, dt, S, dS):
         """FCT limiting for all fields (AdvectionOperator::LimitMult,
-        remhos.cpp:1798-1916). Returns (dS_limited, dt_ratio)."""
+        remhos.cpp:1798-1916). Returns (dS_limited, aux) with
+        aux = [dt_ratio, -bounds_violations] (see _aux)."""
         cfg = self.cfg
         ratio = jnp.asarray(jnp.inf, S.dtype)
+        viol = jnp.zeros((), jnp.int32)
         if cfg.fct == 0:
             if cfg.dt_control != 0 and cfg.lo != 0:
                 geom = self.geometry(t)
@@ -346,21 +357,31 @@ class Advection:
                 el_min, el_max = bnd.elements_min_max(u)
                 x_min, x_max = self.compute_bounds(el_min, el_max)
                 ratio = self._dt_ratio(u, dS[0], x_min, x_max, dt)
-            return dS, ratio
+            return dS, self._aux(ratio, viol)
 
         geom = self.geometry(t)
         u, du_HO = S[0], dS[0]
         du_LO = self._lo_solution(geom, u, du_HO=du_HO, dt=dt)
         el_min, el_max = bnd.elements_min_max(u)
         x_min, x_max = self.compute_bounds(el_min, el_max)
+        if cfg.verify_bounds:
+            # "LimitMult LO u" (remhos.cpp:1824-1828)
+            from . import verify as vfy
+            viol = viol + vfy.check_violation(u, dt, du_LO, x_min, x_max)
         du = self._fct_solution(geom, u, du_HO, du_LO, x_min, x_max, dt)
+        if cfg.verify_bounds:
+            # "LimitMult FCT solution u" (remhos.cpp:1833-1837)
+            from . import verify as vfy
+            viol = viol + vfy.check_violation(u, dt, du, x_min, x_max)
         if cfg.dt_control != 0:
             ratio = self._dt_ratio(u, du_LO, x_min, x_max, dt)
         outs = [du]
 
         if S.shape[0] > 1:
-            outs.append(self._limit_product(geom, t, dt, S, dS, du))
-        return jnp.stack(outs), ratio
+            d_us, viol_p = self._limit_product(geom, t, dt, S, dS, du)
+            outs.append(d_us)
+            viol = viol + viol_p
+        return jnp.stack(outs), self._aux(ratio, viol)
 
     def _fct_solution(self, geom, u, du_HO, du_LO, x_min, x_max, dt):
         cfg = self.cfg
@@ -381,7 +402,8 @@ class Advection:
         raise ValueError(f"unsupported fct type {cfg.fct}")
 
     def _limit_product(self, geom, t, dt, S, dS, d_u_limited):
-        """Product-field block of LimitMult (remhos.cpp:1848-1915)."""
+        """Product-field block of LimitMult (remhos.cpp:1848-1915).
+        Returns (d_us, violation_count)."""
         cfg = self.cfg
         us, d_us_HO = S[1], dS[1]
         u = S[0]
@@ -406,11 +428,13 @@ class Advection:
     def _fct_product(self, geom, us, d_us_HO, d_us_LO, s_min, s_max, u_new,
                      active_el, active_dofs, dt):
         """CalcFCTProduct for clip-scale-style solvers
-        (remhos_fct.cpp:543-566 / 733-758)."""
+        (remhos_fct.cpp:543-566 / 733-758). Returns (d_us, violations)."""
         cfg = self.cfg
         m = geom["ml"]
-        dus_lo_fct, s_min, s_max = fctm.calc_compatible_lo_product(
+        dus_lo_fct, s_min, s_max, viol = fctm.calc_compatible_lo_product(
             us, m, d_us_HO, s_min, s_max, u_new, active_el, active_dofs, dt)
+        if not cfg.verify_bounds:
+            viol = jnp.zeros((), jnp.int32)
         us_min, us_max = fctm.scale_product_bounds(s_min, s_max, u_new,
                                                    active_el, active_dofs)
         if cfg.fct == 2:
@@ -426,7 +450,26 @@ class Advection:
                 us_min, us_max, u_new, active_el, active_dofs, dt)
         else:
             raise ValueError(f"unsupported fct product type {cfg.fct}")
-        return syncm.zero_out_empty_dofs(active_el, active_dofs, d_us)
+        d_us = syncm.zero_out_empty_dofs(active_el, active_dofs, d_us)
+        if cfg.verify_bounds:
+            # final product bounds check (remhos_fct.cpp:264-292, 568-610)
+            from . import verify as vfy
+            viol = viol + vfy.check_final_us(us, dt, d_us, us_min, us_max,
+                                             active_el, active_dofs)
+        return d_us, viol
+
+    def compute_mask(self, S):
+        """IDP stage mask (AdvectionOperator::ComputeMask,
+        remhos.cpp:1741-1796): with a product field, a dof participates in
+        the high-order RK recombination only if EVERY dof of its element is
+        active in u (element-consistent activity); the u mask is applied to
+        all fields — new-element activation then propagates via plain
+        forward Euler. Without a product field, everything is active."""
+        if S.shape[0] <= 1:
+            return jnp.ones(S.shape, bool)
+        _, active_dofs = syncm.bool_indicators(S[0])
+        el_fully_active = active_dofs.all(axis=1)
+        return jnp.broadcast_to(el_fully_active[None, :, None], S.shape)
 
     # ------------------------------------------------------------------
 

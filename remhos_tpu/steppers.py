@@ -126,14 +126,26 @@ def make_rk_step(f, kind: int):
     return step
 
 
-def make_idp_step(mult_unlimited, limit_mult, kind: int):
-    """IDP-RK step mirroring RKIDPSolver::Step (remhos_solvers.cpp:171-249),
-    without stage masks (UseMask(false), remhos.cpp:502-506).
+def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
+                  use_masks=False):
+    """IDP-RK step mirroring RKIDPSolver::Step (remhos_solvers.cpp:171-249).
 
     mult_unlimited(t, dt, u) -> du_unlimited
     limit_mult(t, dt, u, du) -> (du_limited, aux)
+    compute_mask(u) -> bool mask, same shape as u (ComputeMask,
+    remhos.cpp:1741-1796); only used when use_masks is True.
+
+    With use_masks the high-order recombination is applied only on masked
+    dofs; unmasked dofs keep the plain stage update (forward Euler), so
+    newly activated product-field elements propagate monotonically
+    (UpdateMask/AddMasked, remhos_solvers.cpp:97-147, 202-232). The
+    reference driver runs UseMask(false) (remhos.cpp:502-506); masks are
+    the opt-in `-um` path here, mirroring RKIDPSolver::UseMask.
     """
     import jax.numpy as jnp
+
+    if use_masks and compute_mask is None:
+        raise ValueError("use_masks requires a compute_mask function")
 
     if kind == 11:
         def step(u, t, dt):
@@ -150,6 +162,7 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int):
     def step(u, t, dt):
         dxs = []
         aux = jnp.asarray(jnp.inf, dtype=u.dtype)
+        mask = None
         # stage 0
         dt0 = c[0] * dt
         dx = mult_unlimited(t, dt0, u)
@@ -164,16 +177,34 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int):
             x = x + dt0 * dx
             t_stage = t + dt0
             c_o = c[0]
+            if use_masks:
+                mask = compute_mask(x)          # remhos_solvers.cpp:186
+        elif use_masks:
+            mask = compute_mask(x + dt0 * dx)   # remhos_solvers.cpp:191-195
         for i in range(1, s):
             c_n = c[i] if i < s - 1 else 1.0
             dc = c_n - c_o
             dct = dc * dt
             dx = mult_unlimited(t_stage, dct, x)
+            if use_masks:
+                # UpdateMask: AND with activity of the unlimited HO update
+                # (remhos_solvers.cpp:127-147, 213)
+                mask = mask & compute_mask(x + dct * dx)
             di = i * (i + 1) // 2
-            dx = dx * d[di + i]
-            for j in range(i):
-                if d[di + j] != 0.0:
-                    dx = dx + d[di + j] * dxs[j]
+            if use_masks:
+                # AddMasked: unmasked dofs keep dx (forward Euler);
+                # masked dofs get the full d-recombination
+                # (remhos_solvers.cpp:218-232)
+                rec = dx * d[di + i]
+                for j in range(i):
+                    if d[di + j] != 0.0:
+                        rec = rec + d[di + j] * dxs[j]
+                dx = jnp.where(mask, rec, dx)
+            else:
+                dx = dx * d[di + i]
+                for j in range(i):
+                    if d[di + j] != 0.0:
+                        dx = dx + d[di + j] * dxs[j]
             dx, a = limit_mult(t_stage, dct, x, dx)
             aux = jnp.minimum(aux, a)
             dxs.append(dx)
@@ -187,19 +218,45 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int):
     return step
 
 
-# Butcher's classic 7-stage 6th-order explicit method, used for -s 6.
-# (The reference delegates -s 6 to MFEM's 8-stage RK6; no golden uses it.
-# Any 6th-order tableau is admissible — results agree to O(dt^6).)
+# MFEM's RK6Solver: Verner's "most efficient" 8-stage 6(5) method (mfem
+# ode.cpp; selected by -s 6 at remhos.cpp:492). Using the same tableau
+# makes -s 6 trajectories match the reference's bit-for-bit modulo
+# round-off ordering. Row sums, the quadrature conditions sum(b c^k) =
+# 1/(k+1) for k<=5, the deeper trees b'Ac = 1/6, b'(c∘Ac) = 1/8,
+# b'Ac² = 1/12, b'A²c = 1/24, and an empirical order-6 convergence check
+# all validate these digits (tests/test_foundations.py).
 RK6_BUTCHER = dict(
-    c=[0.0, 1 / 3, 2 / 3, 1 / 3, 1 / 2, 1 / 2, 1.0],
+    c=[0.0, .6e-1, .9593333333333333333333333333333333333333e-1, .1439,
+       .4973, .9725, .9995, 1.0],
     a=[[],
-       [1 / 3],
-       [0.0, 2 / 3],
-       [1 / 12, 1 / 3, -1 / 12],
-       [-1 / 16, 9 / 8, -3 / 16, -3 / 8],
-       [0.0, 9 / 8, -3 / 8, -3 / 4, 1 / 2],
-       [9 / 44, -9 / 11, 63 / 44, 18 / 11, 0.0, -16 / 11]],
-    b=[11 / 120, 0.0, 27 / 40, 27 / 40, -4 / 15, -4 / 15, 11 / 120],
+       [.6e-1],
+       [.1923996296296296296296296296296296296296e-1,
+        .7669337037037037037037037037037037037037e-1],
+       [.35975e-1, 0.0, .107925],
+       [1.318683415233148260919747276431735612861, 0.0,
+        -5.042058063628562225427761634715637693344,
+        4.220674648395413964508014358283902080483],
+       [-41.87259166432751461803757780644346812905, 0.0,
+        159.4325621631374917700365669070346830453,
+        -122.1192135650100309202516203389242140663,
+        5.531743066200053768252631238332999150076],
+       [-54.43015693531650433250642051294142461271, 0.0,
+        207.0672513650184644273657173866509835987,
+        -158.6108137845899991828742424365058599469,
+        6.991816585950242321992597280791793907096,
+        -.1859723106220323397765171799549294623692e-1],
+       [-54.66374178728197680241215648050386959351, 0.0,
+        207.9528062553893734515824816699834244238,
+        -159.2889574744995071508959805871426654216,
+        7.018743740796944434698170760964252490817,
+        -.1833878590504572306472782005141738268361e-1,
+        -.5119484997882099077875432497245168395840e-3]],
+    b=[.3438957868357036009278820124728322386520e-1, 0.0, 0.0,
+       .2582624555633503404659558098586120858767,
+       .4209371189673537150642551514069801967032,
+       4.405396469669310170148836816197095664891,
+       -176.4831190242986576151740942499002125029,
+       172.3641334014150730294022582711902413315],
 )
 
 

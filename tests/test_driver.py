@@ -238,6 +238,11 @@ class TestCLIAndExtras:
                  dt=0.005, t_final=0.025, ho=3, lo=5, fct=2, ode_solver=6)
         assert r.mass_loss_u < 1e-12
         assert r.max_u <= 1.0 + 1e-10
+        # trajectory golden frozen with MFEM's exact RK6Solver (Verner
+        # 8-stage) tableau — -s 6 now matches the reference bit-for-bit
+        # modulo round-off ordering
+        assert abs(r.final_mass_u - 0.2674249932098922) < 5e-15
+        assert abs(r.max_u - 0.9996452562338725) < 5e-15
 
     def test_cli_roundtrip(self, tmp_path, capsys):
         from remhos_tpu.cli import main
@@ -270,8 +275,10 @@ class TestCLIAndExtras:
         assert abs(r_full.max_u - r_res.max_u) < 1e-14
 
     def test_verify_bounds_mode(self):
+        # -vb now asserts dof-level stage bounds (see tests/test_verify.py);
+        # lo=3 (RD) is bound-preserving so the run stays clean
         r = _run(mesh="periodic-square", problem=4, rs_levels=1, order=2,
-                 dt=0.005, t_final=0.02, ho=3, lo=5, fct=2,
+                 dt=0.005, t_final=0.02, ho=3, lo=3, fct=2,
                  verify_bounds=True)
         assert r.max_u <= 1.0 + 1e-10
 

@@ -169,3 +169,53 @@ def test_pallas_kernels_interpret():
     du = pk.fused_gl_cg(Ku, wdet, disc, interpret=True, block_e=64)
     resid = pam.mass_action(du, geom["wdet"], adv.Bu) - Ku
     assert float(jnp.abs(resid).max()) < 1e-7
+
+
+def test_rk6_tableau_is_mfem_verner():
+    """The -s 6 tableau must be MFEM's RK6Solver (Verner 8-stage, order 6):
+    validate row sums, quadrature conditions through order 6, deeper order
+    trees, and empirical 6th-order convergence on a nonlinear ODE."""
+    import numpy as np
+
+    from remhos_tpu.steppers import RK6_BUTCHER
+
+    tab = RK6_BUTCHER
+    s = len(tab["b"])
+    assert s == 8
+    A = np.zeros((s, s))
+    for i, row in enumerate(tab["a"]):
+        A[i, : len(row)] = row
+    b = np.asarray(tab["b"])
+    c = np.asarray(tab["c"])
+    assert np.abs(A.sum(1) - c).max() < 1e-13
+    for p in range(6):
+        assert abs((b * c ** p).sum() - 1.0 / (p + 1)) < 1e-12
+    Ac = A @ c
+    assert abs(b @ Ac - 1 / 6) < 1e-11
+    assert abs(b @ (c * Ac) - 1 / 8) < 1e-11
+    assert abs(b @ (A @ c ** 2) - 1 / 12) < 1e-11
+    assert abs(b @ (A @ Ac) - 1 / 24) < 1e-11
+
+    # empirical order on a pendulum: halving h must cut the error ~2^6
+    def rk_step(f, t, y, h):
+        K = []
+        for i in range(s):
+            yi = y + h * sum(A[i, j] * K[j] for j in range(i))
+            K.append(f(t + c[i] * h, yi))
+        return y + h * sum(b[i] * K[i] for i in range(s))
+
+    def f(t, y):
+        return np.array([y[1], -np.sin(y[0])])
+
+    def integrate(h, T=4.0):
+        y = np.array([1.5, 0.0])
+        t = 0.0
+        for _ in range(int(round(T / h))):
+            y = rk_step(f, t, y, h)
+            t += h
+        return y
+
+    ref = integrate(1 / 256)
+    e1 = np.abs(integrate(1 / 2) - ref).max()
+    e2 = np.abs(integrate(1 / 4) - ref).max()
+    assert e1 / e2 > 50.0   # 2^6 = 64 up to higher-order terms
