@@ -5,33 +5,65 @@ MassBasedAvg LO + ClipScale FCT; README.md:261-275) on a p=3 3D remap
 problem and reports the combined FOM in the reference's units,
 megaDOFs x RK-stages / second (remhos.cpp:1936-1952).
 
+The benched run is VERIFIED before the number is printed (the reference
+prints `Final mass u` unconditionally for the same reason,
+remhos.cpp:1423-1436):
+  - lumped-mass conservation to working precision,
+  - global bounds preservation (FCT invariant),
+  - a 2-step cross-precision check of the f32 state against the f64 state
+    (catches silent degeneration of the hot path — e.g. a mass solve that
+    exits at 0 iterations, or bf16-poisoned matmuls; both happened).
+
+Default output is ONE JSON line with the f32 headline, the f64
+(reference-precision) FOM, the five per-phase FOMs, and an MFU/roofline
+estimate from XLA's cost analysis. Environment knobs:
+  BENCH_N        mesh edge elements (default 24 -> 884736 dofs at p=3)
+  BENCH_STEPS    timed RK3 steps (default 10)
+  BENCH_PALLAS   "0" disables the fused Pallas geometry kernel (default on)
+  BENCH_DUAL     "0" skips the f64 run
+  BENCH_PHASES   "0" skips the per-phase FOM measurement
+  BENCH_VERIFY   "0" skips verification (quick iterations only)
+  BENCH_DTYPE    float32|float64 for a single-precision-mode run
+
 Baseline: the only absolute number recorded in the reference repo is the
 dev-machine run in remhos_tests.cpp:53-58 -> total FOM ~= 2.31 MDOF*steps/s
 (2.56M dofs * 5 steps / 5.537 s). vs_baseline is measured against that.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# Default: f32 (the TPU production precision; f64 is software-emulated on
-# v5e and runs ~150x slower through the same code — see README). Set
-# BENCH_DTYPE=float64 for the reference-precision run or BENCH_DUAL=1 for
-# both in one line.
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
-jax.config.update("jax_enable_x64", DTYPE == "float64")
+# x64 stays ON even for the f32 benchmark: the f32 mode is an explicit
+# dtype on the operator (Advection(dtype=f32)), so the f64 verification
+# legs run in the same process family without global-flag flips.
+jax.config.update("jax_enable_x64", True)
+if DTYPE == "float32":
+    # TPU default matmul precision is single-pass bfloat16 (eps ~8e-3) —
+    # catastrophic for the ill-conditioned Bernstein basis transforms, and
+    # even 3-pass tf32 leaves a systematic ~3e-6/stage conservation bias
+    # (broken volume/face telescoping). Full-f32 (6-pass) costs ~7% on
+    # this bandwidth-bound workload and restores conservation to f32
+    # round-off (docs/PERF.md).
+    jax.config.update("jax_default_matmul_precision", "float32")
 _TAG = "f64" if DTYPE == "float64" else "f32"
 
-BASELINE_FOM = 2.312  # MDOF*steps/s, remhos_tests.cpp:53-58
+BASELINE_FOM = 2.312    # MDOF*steps/s, remhos_tests.cpp:53-58
+PEAK_BF16_TFLOPS = 197.0   # TPU v5e MXU peak (bf16)
+PEAK_HBM_GBS = 819.0       # TPU v5e HBM bandwidth
 
 
-def main():
+def _env_on(name, default="1"):
+    return os.environ.get(name, default) not in ("0", "false", "")
+
+
+def build_case():
     from remhos_tpu import problems as prob
     from remhos_tpu import steppers
     from remhos_tpu.discretization import build_discretization
@@ -39,33 +71,37 @@ def main():
     from remhos_tpu.mesh import make_cartesian_mesh
     from remhos_tpu.operator import Advection, SolverConfig
 
-    # p=3 3D remap (Taylor-Green mesh motion), ~0.88M dofs on one chip
     n = int(os.environ.get("BENCH_N", "24"))
     order, problem = 3, 10
     mesh = make_cartesian_mesh(3, (n, n, n), (0, 0, 0), (1, 1, 1),
                                (False, False, False))
     disc = build_discretization(mesh, order)
+    use_pallas = _env_on("BENCH_PALLAS") and jax.devices()[0].platform == "tpu" \
+        and DTYPE == "float32"
     scfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
-                        pa=True,  # the matrix-free TPU hot path
-                        use_pallas=bool(os.environ.get("BENCH_PALLAS")))
-
+                        pa=True, use_pallas=use_pallas)
     dt = 0.02
+    w_dtype = jnp.float32 if DTYPE == "float32" else None
     x0 = jnp.asarray(mesh.x)
     v = _integrate_mesh_velocity(mesh.x, disc.Bm, problem, mesh.bb_min,
                                  mesh.bb_max, 0.7, dt)
     u0, _ = _project_bernstein(
         x0, disc.Bm_at_unodes,
         lambda x: prob.u0_function(problem, x, mesh.bb_min, mesh.bb_max))
-    S = jnp.stack([u0])
-    ndofs = S.shape[1] * S.shape[2]
-
-    adv = Advection(disc, scfg, x0, v, None)
+    # verification-grade operator: f64 geometry regardless of the benched
+    # precision, so the mass check measures the TRAJECTORY's loss, not the
+    # f32 round-off of the verification arithmetic itself
+    vcfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
+                        pa=True)
+    adv64 = Advection(disc, vcfg, x0, v, None)
+    if w_dtype is not None:
+        x0, v, u0 = x0.astype(w_dtype), v.astype(w_dtype), u0.astype(w_dtype)
+    adv = Advection(disc, scfg, x0, v, None, dtype=w_dtype)
     step = steppers.make_rk_step(adv.stage_function(), 3)
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    return adv, adv64, step, jnp.stack([u0]), dt, use_pallas
 
-    # whole-loop fusion: N steps inside one jit via lax.scan — no per-step
-    # host dispatch (the driver uses a python loop for dt control; the
-    # bench measures the pure compute throughput of the canonical config)
+
+def make_loop(step, dt, n_steps):
     @jax.jit
     def run_steps(S, t0):
         def body(carry, _):
@@ -74,19 +110,88 @@ def main():
             return (S_new, t + dt), ()
         (S, _), _ = jax.lax.scan(body, (S, t0), None, length=n_steps)
         return S
+    return run_steps
 
-    S_w = run_steps(S, jnp.asarray(0.0))
+
+def verify(adv64, S0, S_final, dt, n_steps):
+    """Invariant checks on the benched state; raises on failure. Uses the
+    f64 verification operator so the check measures the trajectory."""
+    # jit: eager geometry picks pathological padded layouts on TPU
+    # (a [E,3,216,3] temp padded 42x -> OOM)
+    mlfn = jax.jit(lambda t: adv64.geometry(t)["ml"])
+    ml0 = mlfn(jnp.asarray(0.0))
+    mlT = mlfn(jnp.asarray(n_steps * dt))
+    mass0 = float((ml0 * S0[0].astype(ml0.dtype)).sum())
+    massT = float((mlT * S_final[0].astype(ml0.dtype)).sum())
+    rel_loss = abs(massT - mass0) / abs(mass0)
+    # Remap conservation has a TEMPORAL error: RK3 satisfies the moving-
+    # mesh geometric conservation law only to O(dt^4) per step — measured
+    # ~1.7e-7/step at dt=0.02 in f64 (the reference's ~1e-12 remap losses
+    # correspond to its much smaller dt). Budget that plus f32 round-off;
+    # an actual conservation bug (broken FCT/lumping) shows up at 1e-3+.
+    gcl = 5e-7 * n_steps * max(1.0, (dt / 0.02) ** 4)
+    tol = gcl + (1e-6 * n_steps if S0.dtype == jnp.float32 else 0.0)
+    assert rel_loss < tol, f"mass conservation broken: rel loss {rel_loss:g}"
+    btol = 1e-5 if S0.dtype == jnp.float32 else 1e-10
+    assert float(S_final[0].max()) <= float(S0[0].max()) + btol, "overshoot"
+    assert float(S_final[0].min()) >= float(S0[0].min()) - btol, "undershoot"
+    return rel_loss
+
+
+def cross_precision_check(S2_f32):
+    """Run 2 steps of the same config in an f64 subprocess and compare.
+    Catches silently-degenerate f32 hot paths."""
+    env = dict(os.environ)
+    env.update(BENCH_DTYPE="float64", BENCH_CROSSDUMP="/tmp/bench_f64_2step.npy",
+               BENCH_STEPS="2", BENCH_DUAL="0", BENCH_PHASES="0",
+               BENCH_VERIFY="0")
+    env.pop("BENCH_CROSSCHECK", None)
+    out = subprocess.run([sys.executable, __file__], env=env,
+                         capture_output=True, text=True)
+    if out.returncode != 0:
+        raise RuntimeError(f"f64 cross-check run failed:\n{out.stderr[-2000:]}")
+    import numpy as np
+    ref = np.load("/tmp/bench_f64_2step.npy")
+    got = np.asarray(S2_f32[0], np.float64)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    # the f32-input accuracy floor is ~7e-4 per HO solve (docs/PERF.md);
+    # 6 RK stages with limiter-decision amplification measure ~4e-3.
+    # The failure modes this guards against sit at 0.3 (bf16 matmuls)
+    # and O(1) (degenerate mass solve) — two orders above the threshold.
+    assert rel < 1e-2, f"f32 state diverges from f64 after 2 steps: {rel:g}"
+    return rel
+
+
+def main():
+    adv, adv64, step, S, dt, use_pallas = build_case()
+    ndofs = S.shape[1] * S.shape[2]
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    run_steps = make_loop(step, dt, n_steps)
+
+    compiled = run_steps.lower(S, jnp.asarray(0.0, S.dtype)).compile()
+    ca = compiled.cost_analysis() or {}
+    S_w = compiled(S, jnp.asarray(0.0, S.dtype))
     jax.block_until_ready(S_w)
 
     t0 = time.perf_counter()
-    S = run_steps(S, jnp.asarray(0.0))
-    jax.block_until_ready(S)
+    S_final = compiled(S, jnp.asarray(0.0, S.dtype))
+    jax.block_until_ready(S_final)
     wall = time.perf_counter() - t0
 
-    if os.environ.get("BENCH_PHASES"):
-        from remhos_tpu.utils.fom import measure_phases, print_fom_report
-        phases = measure_phases(adv, S[0], 0.1, dt)
-        print_fom_report(phases, ndofs, n_steps * 3)
+    if os.environ.get("BENCH_CROSSDUMP"):
+        import numpy as np
+        np.save(os.environ["BENCH_CROSSDUMP"],
+                np.asarray(S_final[0], np.float64))
+
+    extras = {}
+    if _env_on("BENCH_VERIFY"):
+        extras["mass_rel_loss"] = round(
+            verify(adv64, S, S_final, dt, n_steps), 12)
+        if DTYPE == "float32":
+            two = make_loop(step, dt, 2)(S, jnp.asarray(0.0, S.dtype))
+            jax.block_until_ready(two)
+            extras["f32_vs_f64_2step_rel"] = round(
+                cross_precision_check(two), 8)
 
     stages = 3  # RK3: FOM counts stages (remhos.cpp:1340-1347)
     fom = 1e-6 * ndofs * n_steps * stages / wall
@@ -95,44 +200,67 @@ def main():
         "value": round(fom, 3),
         "unit": "MDOF*stages/s",
         "vs_baseline": round(fom / BASELINE_FOM, 3),
+        "pallas": use_pallas,
+        "verified": _env_on("BENCH_VERIFY"),
     }
+    result.update(extras)
+
+    flops = ca.get("flops")
+    bts = ca.get("bytes accessed")
+    if flops:
+        result["tflops_per_s"] = round(flops / wall / 1e12, 3)
+        result["mfu_vs_bf16_peak"] = round(
+            flops / wall / (PEAK_BF16_TFLOPS * 1e12), 5)
+    if bts:
+        result["hbm_gb_per_s"] = round(bts / wall / 1e9, 1)
+        result["hbm_util"] = round(bts / wall / (PEAK_HBM_GBS * 1e9), 4)
+
+    if _env_on("BENCH_PHASES"):
+        from remhos_tpu.utils.fom import measure_phases, print_fom_report
+        phases = measure_phases(adv, S[0], dt, n_stages=30)
+        foms = print_fom_report(phases, ndofs, n_steps * stages,
+                                total_wall=wall)
+        for k, v in foms.items():
+            result[k] = round(v, 3)
+
     print(json.dumps(result))
     print(f"# {ndofs} dofs, {n_steps} steps, {wall:.3f} s on "
           f"{jax.devices()[0].platform}:{jax.devices()[0].device_kind}",
           file=sys.stderr)
+    return result
 
 
 def main_dual():
-    """Run f32 (headline) and f64 (reference-precision parity) in child
-    processes; print ONE JSON line."""
-    import subprocess
+    """f32 headline + f64 reference-precision in one JSON line."""
     env = dict(os.environ)
     vals = {}
     for dtype in ("float32", "float64"):
         env["BENCH_DTYPE"] = dtype
-        env.pop("BENCH_DUAL", None)
+        env["BENCH_DUAL"] = "0"
+        if dtype == "float64":
+            env["BENCH_PHASES"] = "0"       # phase FOMs: f32 hot path only
+            env.setdefault("BENCH_STEPS_F64", "4")
+            env["BENCH_STEPS"] = env["BENCH_STEPS_F64"]
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
                 vals[dtype] = json.loads(line)
-        print(out.stderr.strip().splitlines()[-1] if out.stderr else "",
-              file=sys.stderr)
+        err = out.stderr.strip().splitlines()
+        print(err[-1] if err else f"({dtype}: no output)", file=sys.stderr)
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            sys.exit(1)
     f32 = vals.get("float32", {})
     f64 = vals.get("float64", {})
-    result = {
-        "metric": "fom_total_p3_3d_remap_pa_f32",
-        "value": f32.get("value", 0.0),
-        "unit": "MDOF*stages/s",
-        "vs_baseline": f32.get("vs_baseline", 0.0),
-        "f64_value": f64.get("value", 0.0),
-        "f64_vs_baseline": f64.get("vs_baseline", 0.0),
-    }
+    result = dict(f32)
+    result["f64_value"] = f64.get("value", 0.0)
+    result["f64_vs_baseline"] = f64.get("vs_baseline", 0.0)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_DUAL"):
+    if _env_on("BENCH_DUAL"):
         main_dual()
     else:
         main()

@@ -80,7 +80,10 @@ def main(argv=None) -> int:
     import jax
     if args.device != "default":
         jax.config.update("jax_platforms", args.device)
-    jax.config.update("jax_enable_x64", not args.fp32)
+    # x64 stays enabled even for -fp32: f32 is an explicit operator dtype
+    # (driver W()/Advection(dtype=...)) rather than a global flag
+    # (docs/PERF.md)
+    jax.config.update("jax_enable_x64", True)
 
     from .config import RunConfig
     from .driver import run

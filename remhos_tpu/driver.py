@@ -73,6 +73,11 @@ def _echo_options(cfg: RunConfig):
 def run(cfg: RunConfig) -> RunResult:
     if cfg.verbose:
         _echo_options(cfg)
+    if not jax.config.jax_enable_x64 or cfg.dtype == "float32":
+        # f32 mode: TPU's default matmul precision is single-pass bf16,
+        # which breaks the mass-inverse basis transforms; full-f32 passes
+        # also keep conservation at f32 round-off (docs/PERF.md)
+        jax.config.update("jax_default_matmul_precision", "float32")
     exec_mode = prob.exec_mode_of(cfg.problem)
 
     # --- mesh ---
@@ -91,13 +96,22 @@ def run(cfg: RunConfig) -> RunResult:
     if dt < 0.0:
         dt = _cfl_dt(mesh, cfg.problem, cfg.order)
 
+    # working precision: explicit f32 casting (the mass solve runs its
+    # ill-conditioned basis transforms at Precision.HIGHEST,
+    # pa.mass_solve_gl); None = ambient default
+    w_dtype = (jnp.float32 if cfg.dtype == "float32"
+               and jax.config.jax_enable_x64 else None)
+
+    def W(a):
+        return jnp.asarray(a) if w_dtype is None else jnp.asarray(a, w_dtype)
+
     # --- remap mesh velocity ---
-    x0_nodes = jnp.asarray(mesh.x)
+    x0_nodes = W(mesh.x)
     v_nodes = None
     if exec_mode == 1:
-        v_nodes = _integrate_mesh_velocity(mesh.x, disc.Bm, cfg.problem,
-                                           mesh.bb_min, mesh.bb_max,
-                                           t_final, dt)
+        v_nodes = W(_integrate_mesh_velocity(mesh.x, disc.Bm, cfg.problem,
+                                             mesh.bb_min, mesh.bb_max,
+                                             t_final, dt))
         t_final = 1.0   # pseudo-time convention (remhos.cpp:1128-1134)
 
     # --- solver config / operator ---
@@ -128,7 +142,10 @@ def run(cfg: RunConfig) -> RunResult:
                               jnp.asarray(disc.Bm_at_unodes))
             inflow_vals = prob.inflow_function(cfg.problem, x_un)
 
-    adv = Advection(disc, scfg, x0_nodes, v_nodes, inflow_vals)
+    if inflow_vals is not None:
+        inflow_vals = W(inflow_vals)
+    adv = Advection(disc, scfg, x0_nodes, v_nodes, inflow_vals,
+                    dtype=w_dtype)
 
     # --- initial condition ---
     u0, x_unodes = _project_bernstein(
@@ -139,11 +156,12 @@ def run(cfg: RunConfig) -> RunResult:
         active_el, _ = syncm.bool_indicators(u0)
         s0 = jnp.where(active_el[:, None], prob.s0_function(x_unodes), 0.0)
         fields.append(u0 * s0)
-    S = jnp.stack(fields)
+    S = W(jnp.stack(fields))
 
     # --- initial masses (remhos.cpp:1072-1081) ---
-    geom0 = adv.geometry(0.0)
-    masses = geom0["ml"]
+    # (jitted: eager geometry picks pathological padded layouts on TPU)
+    masses = jax.jit(lambda t: adv.geometry(t)["ml"])(
+        jnp.asarray(0.0, S.dtype))
     mass0_u = float((masses * S[0]).sum())
     mass0_us = float((masses * S[1]).sum()) if cfg.product_sync else 0.0
 
@@ -153,19 +171,22 @@ def run(cfg: RunConfig) -> RunResult:
     if shard_grid is not None:
         from .parallel.sharded import make_sharded_step, shard_arrays
         dev_mesh, sharded_step, perm = make_sharded_step(
-            mesh, scfg, cfg.order, shard_grid, cfg.ode_solver, dcn=cfg.dcn)
+            mesh, scfg, cfg.order, shard_grid, cfg.ode_solver, dcn=cfg.dcn,
+            dtype=w_dtype)
         v_arr = (v_nodes if v_nodes is not None
                  else jnp.zeros_like(x0_nodes))
         infl_arr = (inflow_vals if inflow_vals is not None
                     else jnp.zeros_like(S[0]))
+        E_real = S.shape[1]
         S, x0_sh, v_sh, infl_sh = shard_arrays(dev_mesh, dev_mesh.axis_names,
                                                S, x0_nodes, v_arr, infl_arr,
-                                               perm=perm)
-        # element arrays are now in shard-block-major order; keep masses
+                                               perm=perm, n_real=E_real)
+        # element arrays are now in shard-block-major order (possibly with
+        # ghost padding rows at the end — len(perm) > E_real); keep masses
         # aligned and remember how to undo the permutation for reporting
-        inv_perm = np.empty_like(perm)
-        inv_perm[perm] = np.arange(len(perm))
-        masses = masses[jnp.asarray(perm)]
+        inv_perm = np.empty(E_real, dtype=perm.dtype)
+        inv_perm[perm[:E_real]] = np.arange(E_real)
+        masses = masses[jnp.asarray(perm)]   # ghost rows multiply zero fields
 
         def step(Sv, t, dt):
             return sharded_step(Sv, t, dt, x0_sh, v_sh, infl_sh)
@@ -189,7 +210,7 @@ def run(cfg: RunConfig) -> RunResult:
     if cfg.resume and cfg.checkpoint_path:
         from . import checkpoint as ckpt
         S_ck, t, dt, ti = ckpt.load_state(cfg.checkpoint_path)
-        S = jnp.asarray(S_ck)
+        S = W(S_ck)
         ti_total = ti
         if cfg.verbose:
             print(f"Resumed from {cfg.checkpoint_path} at step {ti}, t={t:g}")
@@ -197,6 +218,8 @@ def run(cfg: RunConfig) -> RunResult:
             # checkpoints store S in GLOBAL element order (see save below),
             # so any shard grid can resume any checkpoint
             S = S[:, jnp.asarray(perm)]
+            if len(perm) > E_real:      # zero ghost padding rows
+                S = S * (jnp.arange(len(perm)) < E_real)[None, :, None]
             S = jax.device_put(S, jax.sharding.NamedSharding(
                 dev_mesh,
                 jax.sharding.PartitionSpec(None, dev_mesh.axis_names)))
@@ -307,7 +330,8 @@ def run(cfg: RunConfig) -> RunResult:
 
     # --- final mass / max (remhos.cpp:1382-1436) ---
     if exec_mode == 1:
-        ml_final = adv.geometry(t)["ml"]
+        ml_final = jax.jit(lambda tt: adv.geometry(tt)["ml"])(
+            jnp.asarray(t, S.dtype))
     else:
         ml_final = masses
     mass_u = float((ml_final * S[0]).sum())

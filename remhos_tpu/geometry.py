@@ -104,3 +104,100 @@ def face_geometry(x, Bmf, Gmf, n_ref):
     # Nanson: n = adj(J)^T n_ref
     nor = jnp.einsum("efqdb,fd->efqb", adj, n_ref)
     return x_fq, nor
+
+
+def face_tangent_tables(Gmf, n_ref):
+    """Static preprocessing for the tangent-only face-normal path.
+
+    Reference face normals of tensor elements are always +-e_k, so the
+    Nanson normal adj(J)^T n_ref reduces to +-(column k of cof(J)) — the
+    cross product of the OTHER (tangential) Jacobian columns. Computing
+    only those columns cuts the face-Jacobian matmul and the adjugate
+    algebra from dim*dim to dim*(dim-1) terms — the single hottest piece
+    of the remap stage on TPU (FaceGeometricFactors equivalent,
+    remhos_tools.cpp:788-858).
+
+    Returns (Gmf_tan[nf,Qf,nm,dim-1], sign[nf]) as numpy, or None when
+    dim == 1 or a normal is not axis-aligned (fall back to face_geometry).
+    """
+    import numpy as np
+    Gmf = np.asarray(Gmf)
+    n_ref = np.asarray(n_ref)
+    nf, Qf, nm, dim = Gmf.shape
+    if dim == 1:
+        return None
+    k = np.abs(n_ref).argmax(axis=1)
+    s = np.take_along_axis(n_ref, k[:, None], 1)[:, 0]
+    if not np.allclose(np.abs(n_ref).sum(1), np.abs(s)):
+        return None                       # non-axis-aligned reference normal
+    if dim == 3:
+        # cof(J)[:, k] = J[:, (k+1)%3] x J[:, (k+2)%3]  (cyclic order)
+        t_axes = np.stack([(k + 1) % 3, (k + 2) % 3], axis=1)
+    else:
+        # cof(J)[:, k] = (-1)^k * rot90(J[:, 1-k]),  rot90(x, y) = (y, -x)
+        t_axes = (1 - k)[:, None]
+        s = s * np.where(k == 0, 1.0, -1.0)
+    Gt = np.take_along_axis(Gmf, t_axes[:, None, None, :], axis=3)
+    return Gt, s
+
+
+def volume_detj_va(x, Gm, v_q, sign):
+    """(detJ[E,Q], va[E,Q,dim]) for the PA convection action, WITHOUT
+    materializing the adjugate: va_b = sign * v . cof(J)[:, b] where the
+    cofactor columns are cross products of Jacobian columns. One pass over
+    J instead of J -> adjJ -> contract — the remap-stage geometry is the
+    reference's RHS-FOM bottleneck (remhos.cpp:1598-1676), and on TPU this
+    halves its HBM traffic."""
+    J = jacobians(x, Gm)                        # [E, Q, a(xyz), b(ref)]
+    dim = J.shape[-1]
+    if dim == 1:
+        det = J[..., 0, 0]
+        return det, sign * v_q
+    if dim == 2:
+        c0, c1 = J[..., 0], J[..., 1]           # columns
+        det = c0[..., 0] * c1[..., 1] - c1[..., 0] * c0[..., 1]
+        rot = lambda t: jnp.stack([t[..., 1], -t[..., 0]], -1)
+        va0 = (v_q * rot(c1)).sum(-1)
+        va1 = -(v_q * rot(c0)).sum(-1)
+        return det, sign * jnp.stack([va0, va1], -1)
+    c0, c1, c2 = J[..., 0], J[..., 1], J[..., 2]
+    k0 = jnp.cross(c1, c2)
+    k1 = jnp.cross(c2, c0)
+    k2 = jnp.cross(c0, c1)
+    det = (c0 * k0).sum(-1)
+    va = jnp.stack([(v_q * k0).sum(-1), (v_q * k1).sum(-1),
+                    (v_q * k2).sum(-1)], -1)
+    return det, sign * va
+
+
+def face_normals_tangent(x, Gmf_tan, sign):
+    """Scaled outward face normals only (no x_fq) — the remap PA stage
+    needs just the normals since the face velocity is time-independent."""
+    A, E, dim = _nodes_matrix(x)
+    nf, Qf, nm, tdim = Gmf_tan.shape
+    G2 = Gmf_tan.transpose(2, 0, 1, 3).reshape(nm, nf * Qf * tdim)
+    T = (A @ G2).reshape(E, dim, nf, Qf, tdim).transpose(0, 2, 3, 1, 4)
+    if dim == 3:
+        nor = jnp.cross(T[..., 0], T[..., 1])
+    else:
+        t = T[..., 0]
+        nor = jnp.stack([t[..., 1], -t[..., 0]], -1)
+    return nor * sign[None, :, None, None]
+
+
+def face_geometry_tangent(x, Bmf, Gmf_tan, sign):
+    """face_geometry via tangential Jacobian columns only (see
+    face_tangent_tables). Bitwise-equal cofactor arithmetic, ~dim/(dim-1)x
+    less face-Jacobian compute and traffic."""
+    A, E, dim = _nodes_matrix(x)
+    nf, Qf, nm, tdim = Gmf_tan.shape
+    B2 = Bmf.transpose(2, 0, 1).reshape(nm, nf * Qf)
+    x_fq = (A @ B2).reshape(E, dim, nf, Qf).transpose(0, 2, 3, 1)
+    G2 = Gmf_tan.transpose(2, 0, 1, 3).reshape(nm, nf * Qf * tdim)
+    T = (A @ G2).reshape(E, dim, nf, Qf, tdim).transpose(0, 2, 3, 1, 4)
+    if dim == 3:
+        nor = jnp.cross(T[..., 0], T[..., 1])
+    else:
+        t = T[..., 0]
+        nor = jnp.stack([t[..., 1], -t[..., 0]], -1)
+    return x_fq, nor * sign[None, :, None, None]

@@ -64,34 +64,59 @@ class Advection:
     passed explicitly through `params` to keep jit caches clean."""
 
     def __init__(self, disc: Discretization, cfg: SolverConfig,
-                 x0_nodes, v_nodes=None, inflow=None):
+                 x0_nodes, v_nodes=None, inflow=None, dtype=None):
+        """dtype: explicit working precision for all tables/fields (e.g.
+        jnp.float32 for the TPU production f32 mode; the mass solve runs
+        its ill-conditioned basis-change dots at Precision.HIGHEST,
+        pa.mass_solve_gl). None = ambient default."""
         self.disc = disc
         self.cfg = cfg
+        self.dtype = dtype
         dm = disc.dofmaps
+
+        def J(a):
+            return jnp.asarray(a) if dtype is None else jnp.asarray(a, dtype)
+
         self.bdr_dofs = jnp.asarray(dm.bdr_dofs)
         self.nbr_elem = jnp.asarray(dm.nbr_elem)
         self.nbr_dof_local = jnp.asarray(dm.nbr_dof_local)
-        self.x0_nodes = jnp.asarray(x0_nodes)
-        self.v_nodes = None if v_nodes is None else jnp.asarray(v_nodes)
-        self.inflow = None if inflow is None else jnp.asarray(inflow)
+        self.x0_nodes = J(x0_nodes)
+        self.v_nodes = None if v_nodes is None else J(v_nodes)
+        self.inflow = None if inflow is None else J(inflow)
         # inflow values at each element's face dofs (used as the neighbor
         # value at physical boundaries in flux lumping,
         # remhos_tools.cpp:891)
         self.inflow_face = (None if inflow is None
                             else self.inflow[:, self.bdr_dofs])
         # static tables as jnp
-        self.Bu = jnp.asarray(disc.Bu)
-        self.Gu = jnp.asarray(disc.Gu)
-        self.Bm = jnp.asarray(disc.Bm)
-        self.Gm = jnp.asarray(disc.Gm)
-        self.w_q = jnp.asarray(disc.w_q)
-        self.w_fq = jnp.asarray(disc.w_fq)
-        self.Bface = jnp.asarray(disc.Bface)
-        self.Bmf = jnp.asarray(disc.Bmf)
-        self.Gmf = jnp.asarray(disc.Gmf)
-        self.n_ref = jnp.asarray(disc.n_ref)
-        self.Bgl = jnp.asarray(disc.Bgl)
-        self.A_gl2b = jnp.asarray(disc.A_gl2b)
+        self.Bu = J(disc.Bu)
+        self.Gu = J(disc.Gu)
+        self.Bm = J(disc.Bm)
+        self.Gm = J(disc.Gm)
+        self.w_q = J(disc.w_q)
+        self.w_fq = J(disc.w_fq)
+        self.Bface = J(disc.Bface)
+        self.Bmf = J(disc.Bmf)
+        self.Gmf = J(disc.Gmf)
+        self.n_ref = J(disc.n_ref)
+        self.Bgl = J(disc.Bgl)
+        self.A_gl2b = J(disc.A_gl2b)
+        # tangent-only face-normal tables (None -> adjugate fallback)
+        _ft = geo.face_tangent_tables(disc.Gmf, disc.n_ref)
+        self._face_tan = (None if _ft is None else
+                          (J(_ft[0]), J(_ft[1])))
+        # remap: the mesh velocity is time-independent, so its volume- and
+        # face-quad-point interpolations are static — hoist them out of the
+        # per-stage geometry recompute (remhos.cpp:1612-1643 reassembles
+        # them every stage; here they're computed once)
+        self._v_q_static = None
+        self._v_fq_static = None
+        if cfg.exec_mode == 1 and self.v_nodes is not None:
+            self._v_q_static = geo.interp_nodes(self.v_nodes, self.Bm)
+            nf, Qf, nm = self.Bmf.shape
+            self._v_fq_static = geo.interp_nodes(
+                self.v_nodes, self.Bmf.reshape(nf * Qf, nm)).reshape(
+                    self.v_nodes.shape[0], nf, Qf, -1)
         self.Bu_w = self.Bu * self.w_q[:, None]
         self.bb_min = disc.mesh.bb_min
         self.bb_max = disc.mesh.bb_max
@@ -134,8 +159,41 @@ class Advection:
             x = self.x0_nodes + t * self.v_nodes
         else:
             x = self.x0_nodes
+
+        if cfg.pa and cfg.exec_mode == 1:
+            # remap PA hot path (the reference's RHS-FOM bottleneck,
+            # remhos.cpp:1598-1676): static velocity interps + fused
+            # cofactor-column geometry — no adjugate, no x_q/x_fq
+            v_q, v_fq = self._v_q_static, self._v_fq_static
+            if self._face_tan is not None:
+                nor = geo.face_normals_tangent(x, *self._face_tan)
+            else:
+                _, nor = geo.face_geometry(x, self.Bmf, self.Gmf,
+                                           self.n_ref)
+            vn = jnp.einsum("efqd,efqd->efq", v_fq, nor)
+            wvn = -(self.w_fq[None, None, :] * (-jnp.maximum(0.0, vn)))
+            if cfg.use_pallas:
+                # fused-Pallas variant: J/adjJ/va never touch HBM; the
+                # convection action fuses with geometry per field in
+                # _ho_solution (ops/pallas_kernels.py)
+                from .ops import pallas_kernels as pk
+                wdet = pk.fused_wdet(x, self.disc)
+                ml = pam.lumped_mass_pa(wdet, self.Bu)
+                detJ = wdet / self.w_q[None, :]
+                return dict(detJ=detJ, wdet=wdet, wvn=wvn, ml=ml, xs=x,
+                            sub_w=sub_w)
+            detJ, va = geo.volume_detj_va(x, self.Gm, v_q, 1.0)
+            wdet = self.w_q[None, :] * detJ
+            ml = pam.lumped_mass_pa(wdet, self.Bu)
+            return dict(detJ=detJ, wdet=wdet, va=va, wvn=wvn, ml=ml,
+                        sub_w=sub_w)
+
         vol = geo.volume_geometry(x, self.Bm, self.Gm)
-        x_fq, nor = geo.face_geometry(x, self.Bmf, self.Gmf, self.n_ref)
+        if self._face_tan is not None:
+            x_fq, nor = geo.face_geometry_tangent(x, self.Bmf,
+                                                  *self._face_tan)
+        else:
+            x_fq, nor = geo.face_geometry(x, self.Bmf, self.Gmf, self.n_ref)
         if cfg.exec_mode == 0:
             v_q = prob.velocity_function(cfg.problem, vol["x_q"],
                                          self.bb_min, self.bb_max)
@@ -143,28 +201,13 @@ class Advection:
                                           self.bb_min, self.bb_max)
             sign = -1.0
         else:
-            v_q = geo.interp_nodes(self.v_nodes, self.Bm)
-            nf, Qf, nm = self.Bmf.shape
-            v_fq = geo.interp_nodes(
-                self.v_nodes, self.Bmf.reshape(nf * Qf, nm)).reshape(
-                    x.shape[0], nf, Qf, -1)
+            v_q = self._v_q_static
+            v_fq = self._v_fq_static
             sign = 1.0
 
-        if cfg.pa and cfg.use_pallas and cfg.exec_mode == 1:
-            # fused-Pallas remap path: J/adjJ/va never touch HBM; the
-            # convection action fuses with geometry per field in
-            # _ho_solution (ops/pallas_kernels.py)
-            from .ops import pallas_kernels as pk
-            vn = jnp.einsum("efqd,efqd->efq", v_fq, nor)
-            wvn = -(self.w_fq[None, None, :] * (-jnp.maximum(0.0, vn)))
-            wdet = pk.fused_wdet(x, self.disc)
-            ml = pam.lumped_mass_pa(wdet, self.Bu)
-            detJ = wdet / self.w_q[None, :]
-            return dict(detJ=detJ, wdet=wdet, wvn=wvn, ml=ml, xs=x,
-                        sub_w=sub_w)
         if cfg.pa:
-            # matrix-free quadrature data only (the reference's -pa path:
-            # remhos.cpp:681-694; per-stage remap recompute :1645-1676)
+            # transport PA: geometry is time-independent — XLA hoists it
+            # out of the step, so the adjugate path costs nothing per stage
             wdet = self.w_q[None, :] * vol["detJ"]
             va = sign * jnp.einsum("eqd,eqbd->eqb", v_q, vol["adjJ"])
             vn = jnp.einsum("efqd,efqd->efq", v_fq, nor)
@@ -210,9 +253,9 @@ class Advection:
                                           self.Bface, geom["wvn"])
             Ku = asm.scatter_face_add(Ku, contrib, self.bdr_dofs)
             if cfg.ho == 3:
-                if "va" not in geom:
-                    from .ops import pallas_kernels as pk
-                    return pk.fused_gl_cg(Ku, geom["wdet"], self.disc)
+                # XLA's dynamic-exit CG beats the fixed-iteration Pallas
+                # fused_gl_cg here (kappa(M_gl) ~ 1.005 -> 3-4 iterations);
+                # the Pallas win is the fused geometry+conv above
                 return pam.mass_solve_gl(Ku, geom["wdet"], self.Bgl,
                                          self.A_gl2b,
                                          all_sum=self.all_sum_fn())

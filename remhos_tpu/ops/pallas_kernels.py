@@ -32,7 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _rep(shape):
     """Replicated (non-gridded) VMEM block spec for a static table."""
     nd = len(shape)
-    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+    # i * 0 keeps every index-map component i32 (plain 0 becomes an
+    # i64 constant under jax_enable_x64, which Mosaic cannot legalize)
+    return pl.BlockSpec(shape, lambda i: (i * 0,) * nd,
+                        memory_space=pltpu.VMEM)
 
 
 # ---------------------------------------------------------------------------
@@ -47,7 +50,8 @@ def _geom_conv_kernel(xs_ref, v_ref, u_ref, Gmb_ref, BmT_ref, GuT_ref,
     Q = w_q_ref.shape[1]
     dtype = xs_ref.dtype
 
-    Jtab = [[jnp.dot(xs_ref[d], Gmb_ref[b], preferred_element_type=dtype)
+    Jtab = [[jnp.dot(xs_ref[d], Gmb_ref[b], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
              for b in range(dim)] for d in range(dim)]   # [TE, Q] each
 
     def Jdb(d, b):
@@ -73,7 +77,8 @@ def _geom_conv_kernel(xs_ref, v_ref, u_ref, Gmb_ref, BmT_ref, GuT_ref,
 
     # velocity at quad points (nodal interpolation with the mesh basis)
     BmT = BmT_ref[:]
-    v_q = [jnp.dot(v_ref[d], BmT, preferred_element_type=dtype)
+    v_q = [jnp.dot(v_ref[d], BmT, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
            for d in range(dim)]                          # [TE, Q] each
 
     # du_q = sum_b va_b * (d_b u)_q ;  va_b = sum_d cof[d][b] v_d
@@ -83,15 +88,17 @@ def _geom_conv_kernel(xs_ref, v_ref, u_ref, Gmb_ref, BmT_ref, GuT_ref,
         va_b = cof[0][b] * v_q[0]
         for d in range(1, dim):
             va_b = va_b + cof[d][b] * v_q[d]
-        g_b = jnp.dot(u, GuT_ref[b], preferred_element_type=dtype)  # [TE, Q]
+        g_b = jnp.dot(u, GuT_ref[b], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)  # [TE, Q]
         du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
     du_q = sign * du_q
 
-    ku_ref[:] = jnp.dot(du_q, Bu_w_ref[:], preferred_element_type=dtype)
+    ku_ref[:] = jnp.dot(du_q, Bu_w_ref[:], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     wdet_ref[:] = w_q_ref[:] * det
 
 
-def fused_geom_conv(xs, v, u, disc, sign, block_e=256, interpret=False):
+def fused_geom_conv(xs, v, u, disc, sign, block_e=128, interpret=False):
     """(Ku_volume[E,nd], wdet[E,Q]) with geometry fused in VMEM.
 
     xs: current node positions (x0 + t*v computed by the caller)."""
@@ -118,19 +125,19 @@ def fused_geom_conv(xs, v, u, disc, sign, block_e=256, interpret=False):
         kern,
         grid=(E // be,),
         in_specs=[
-            pl.BlockSpec((dim, be, nm), lambda i: (0, i, 0),
+            pl.BlockSpec((dim, be, nm), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, be, nm), lambda i: (0, i, 0),
+            pl.BlockSpec((dim, be, nm), lambda i: (i * 0, i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((be, nd), lambda i: (i, 0),
+            pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
             _rep(Gmb.shape), _rep(BmT.shape), _rep(GuT.shape),
             _rep(Bu_w.shape), _rep(w_q.shape),
         ],
         out_specs=(
-            pl.BlockSpec((be, nd), lambda i: (i, 0),
+            pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((be, Q), lambda i: (i, 0),
+            pl.BlockSpec((be, Q), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((E, nd), dtype),
@@ -145,18 +152,22 @@ def fused_geom_conv(xs, v, u, disc, sign, block_e=256, interpret=False):
 
 
 def _gl_cg_kernel(rhs_ref, wdet_ref, BglT_ref, Bgl_ref, Bgl2_ref, A_ref,
-                  AT_ref, out_ref, *, n_iter, tol2):
+                  AT_ref, out_ref, *, n_iter, rel_tol2):
     dtype = rhs_ref.dtype
     wdet = wdet_ref[:]                                  # [TE, Q]
-    b = jnp.dot(rhs_ref[:], A_ref[:], preferred_element_type=dtype)
-    diag = jnp.dot(wdet, Bgl2_ref[:], preferred_element_type=dtype)
+    b = jnp.dot(rhs_ref[:], A_ref[:], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    diag = jnp.dot(wdet, Bgl2_ref[:], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     inv_diag = 1.0 / diag
     BglT = BglT_ref[:]
     Bgl = Bgl_ref[:]
 
     def amul(g):
-        gq = jnp.dot(g, BglT, preferred_element_type=dtype)
-        return jnp.dot(gq * wdet, Bgl, preferred_element_type=dtype)
+        gq = jnp.dot(g, BglT, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(gq * wdet, Bgl, preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
 
     x = jnp.zeros_like(b)
     r = b
@@ -164,6 +175,7 @@ def _gl_cg_kernel(rhs_ref, wdet_ref, BglT_ref, Bgl_ref, Bgl2_ref, A_ref,
     p = z
     rz = (r * z).sum(axis=1, keepdims=True)             # per element
     rr = (r * r).sum(axis=1, keepdims=True)
+    tol2 = rel_tol2 * rr                                # relative, per elem
 
     def body(i, c):
         x, r, z, p, rz, rr = c
@@ -182,18 +194,19 @@ def _gl_cg_kernel(rhs_ref, wdet_ref, BglT_ref, Bgl_ref, Bgl2_ref, A_ref,
         return x, r, z, p, rz, rr
 
     x, *_ = jax.lax.fori_loop(0, n_iter, body, (x, r, z, p, rz, rr))
-    out_ref[:] = jnp.dot(x, AT_ref[:], preferred_element_type=dtype)
+    out_ref[:] = jnp.dot(x, AT_ref[:], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
 
 
-def fused_gl_cg(rhs, wdet, disc, abs_tol=None, n_iter=30, block_e=512,
+def fused_gl_cg(rhs, wdet, disc, rel_tol=None, n_iter=16, block_e=256,
                 interpret=False):
-    """Element-local DGMassInverse CG with per-element stopping, all state
-    in VMEM. abs_tol defaults to the reference's 1e-8 (f64) / 3e-5 (f32),
-    applied per element like MFEM's local CG."""
+    """Element-local DGMassInverse CG with per-element RELATIVE stopping
+    (|r_e| <= rel_tol |b_e|; see pa.mass_solve_gl for why relative), all
+    Krylov state in VMEM across iterations."""
     E, nd = rhs.shape
     dtype = rhs.dtype
-    if abs_tol is None:
-        abs_tol = 3e-5 if dtype == jnp.float32 else 1e-8
+    if rel_tol is None:
+        rel_tol = 1e-6 if dtype == jnp.float32 else 1e-12
     Bgl = np.asarray(disc.Bgl)
     Q = Bgl.shape[0]
     BglT = jnp.asarray(Bgl.T, dtype)
@@ -204,17 +217,17 @@ def fused_gl_cg(rhs, wdet, disc, abs_tol=None, n_iter=30, block_e=512,
     be = min(block_e, E)
     assert E % be == 0
     kern = functools.partial(_gl_cg_kernel, n_iter=n_iter,
-                             tol2=abs_tol * abs_tol * nd)
+                             rel_tol2=rel_tol * rel_tol)
     return pl.pallas_call(
         kern,
         grid=(E // be,),
-        in_specs=[pl.BlockSpec((be, nd), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((be, Q), lambda i: (i, 0),
+                  pl.BlockSpec((be, Q), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
                   _rep(BglT.shape), _rep(Bglj.shape), _rep(Bgl2.shape),
                   _rep(A.shape), _rep(AT.shape)],
-        out_specs=pl.BlockSpec((be, nd), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, nd), dtype),
         interpret=interpret,
@@ -228,7 +241,8 @@ def fused_gl_cg(rhs, wdet, disc, abs_tol=None, n_iter=30, block_e=512,
 
 def _wdet_kernel(xs_ref, Gmb_ref, w_q_ref, wdet_ref, *, dim):
     dtype = xs_ref.dtype
-    Jtab = [[jnp.dot(xs_ref[d], Gmb_ref[b], preferred_element_type=dtype)
+    Jtab = [[jnp.dot(xs_ref[d], Gmb_ref[b], preferred_element_type=dtype,
+                     precision=jax.lax.Precision.HIGHEST)
              for b in range(dim)] for d in range(dim)]
 
     def Jdb(d, b):
@@ -260,10 +274,10 @@ def fused_wdet(xs, disc, block_e=512, interpret=False):
     return pl.pallas_call(
         kern,
         grid=(E // be,),
-        in_specs=[pl.BlockSpec((dim, be, nm), lambda i: (0, i, 0),
+        in_specs=[pl.BlockSpec((dim, be, nm), lambda i: (i * 0, i, i * 0),
                                memory_space=pltpu.VMEM),
                   _rep(Gmb.shape), _rep(w_q.shape)],
-        out_specs=pl.BlockSpec((be, Q), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((be, Q), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, Q), dtype),
         interpret=interpret,

@@ -72,32 +72,39 @@ def face_lumped_apply(u_face, u_nbr, Bface, wvn):
     return row * (u_nbr - u_face)
 
 
-def mass_solve_gl(rhs, wdet, Bgl, A_gl2b, abs_tol=None, max_iter=60,
+def mass_solve_gl(rhs, wdet, Bgl, A_gl2b, rel_tol=None, max_iter=60,
                   all_sum=None):
     """Solve M_bern du = rhs via CG in the Gauss-Legendre nodal basis.
 
     With du = A g (A = GL->Bernstein basis change), M_bern A g = rhs becomes
     A^T M_bern A g = M_gl g = A^T rhs; M_gl is near-diagonal, so
     Jacobi-preconditioned CG converges in a few iterations. This is MFEM's
-    DGMassInverse(space, BasisType::GaussLegendre) with SetAbsTol(1e-8),
-    SetRelTol(0) (remhos_ho.cpp:79-80), batched over all elements.
-    """
-    if abs_tol is None:
-        # MFEM's DGMassInverse nominal abs_tol is 1e-8 (remhos_ho.cpp:80),
-        # but its per-element absolute criterion effectively converges to
-        # machine precision (the reference's PA goldens bit-match FA,
-        # remhos_tests.cpp:70-75); match that in f64.
-        abs_tol = 3e-5 if rhs.dtype == jnp.float32 else 1e-13
-    b = rhs @ A_gl2b                      # A^T rhs  -> [E, nd]
-    diag = wdet @ (Bgl * Bgl)             # diag(M_gl)[e,i]
+    DGMassInverse(space, BasisType::GaussLegendre) (remhos_ho.cpp:79-80),
+    batched over all elements.
+
+    Stopping is RELATIVE: |r| <= rel_tol * |b|. MFEM's nominal criterion is
+    absolute (SetAbsTol(1e-8)), but mass-matrix rows scale with element
+    volume, so an absolute target is mesh-size-dependent — on fine meshes
+    it can be larger than |b| itself and stop at 0 iterations, silently
+    returning du = 0. A relative target is the scale-free equivalent and
+    converges to the working precision (f64 PA goldens still match FA to
+    full printed digits)."""
+    if rel_tol is None:
+        rel_tol = 1e-6 if rhs.dtype == jnp.float32 else 1e-12
+    # All internal dots run at Precision.HIGHEST: the GL<->Bernstein basis
+    # change A is a cancellation hotspot (||A||_2 ~ 262 for p=3 3D while
+    # ||A g|| ~ ||g||), and on TPU the tf32 default (3-pass bf16) loses
+    # ~1 extra digit here. Full-f32 passes recover the f32-input accuracy
+    # floor (~1.7e-3 rel du error, same as doing the transforms in f64)
+    # at ~10% of the solve cost (docs/PERF.md). No-op for f64 inputs.
+    HI = jax.lax.Precision.HIGHEST
+    b = jnp.dot(rhs, A_gl2b, precision=HI)      # A^T rhs -> [E, nd]
+    diag = jnp.dot(wdet, Bgl * Bgl, precision=HI)   # diag(M_gl)[e,i]
     inv_diag = 1.0 / diag
-    # the reference's abs_tol is per element-local solve; our residual is a
-    # global norm, so scale the target by the (global) dof count
-    nsize = rhs.size if all_sum is None else all_sum(jnp.asarray(
-        float(rhs.size), rhs.dtype))
 
     def amul(g):
-        return mass_action(g, wdet, Bgl)
+        gq = jnp.dot(g, Bgl.T, precision=HI)
+        return jnp.dot(gq * wdet, Bgl, precision=HI)
 
     def dot(x, y):
         d = (x * y).sum()
@@ -108,7 +115,7 @@ def mass_solve_gl(rhs, wdet, Bgl, A_gl2b, abs_tol=None, max_iter=60,
     z = inv_diag * r
     p = z
     rz = dot(r, z)
-    tol2 = abs_tol * abs_tol * nsize
+    tol2 = rel_tol * rel_tol * dot(b, b)
 
     def cond(c):
         x, r, z, p, rz, rr, it = c
@@ -127,7 +134,7 @@ def mass_solve_gl(rhs, wdet, Bgl, A_gl2b, abs_tol=None, max_iter=60,
 
     c0 = (x, r, z, p, rz, dot(r, r), 0)
     x, *_ = jax.lax.while_loop(cond, body, c0)
-    return x @ A_gl2b.T                   # du = A g
+    return jnp.dot(x, A_gl2b.T, precision=HI)   # du = A g
 
 
 def mass_solve_bern(rhs, wdet, Bu, rel_tol=1e-12, max_iter=500, all_sum=None):

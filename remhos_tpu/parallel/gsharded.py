@@ -77,8 +77,9 @@ class GeneralShardedAdvection(Advection):
     face traces + table gathers."""
 
     def __init__(self, disc, cfg, x0, v, inflow, nbr_elem, nbr_face,
-                 nbr_facedof, cg_idx, n_cg, axis_name, bb_min, bb_max):
-        super().__init__(disc, cfg, x0, v, inflow)
+                 nbr_facedof, cg_idx, n_cg, axis_name, bb_min, bb_max,
+                 dtype=None):
+        super().__init__(disc, cfg, x0, v, inflow, dtype=dtype)
         self.bb_min = bb_min
         self.bb_max = bb_max
         self._name = axis_name
@@ -132,19 +133,37 @@ class GeneralShardedAdvection(Advection):
         return lambda x: lax.psum(x, self._name)
 
 
+def structured_nbr_face(mesh) -> np.ndarray:
+    """nbr_face for a structured mesh: the neighbor across face (axis, s)
+    always sees us through its opposite face (axis, 1-s)."""
+    from ..mesh import faces_for_dim
+    faces = faces_for_dim(mesh.dim)
+    opp = np.array([faces.index((a, 1 - s)) for a, s in faces], np.int32)
+    return np.broadcast_to(opp, (mesh.num_elements, len(faces))).copy()
+
+
 def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
-                              ode_solver: int, devices=None):
+                              ode_solver: int, devices=None, dtype=None):
     """(device_mesh, jitted step, perm) for a general mesh sharded into
     n_shards Morton-contiguous element blocks.  Same contract as
-    parallel.sharded.make_sharded_step."""
+    parallel.sharded.make_sharded_step.
+
+    Non-divisible element counts are handled by appending GHOST elements
+    (the reference deliberately regression-tests odd rank counts, np=3,
+    CMakeLists.txt:79-81): ghosts copy element 0's geometry (valid detJ),
+    carry zero fields/velocity/inflow, have no neighbors, and scatter
+    their bounds to a dedicated spare CG node — so they contribute exactly
+    nothing to any reduction. len(perm) > E signals padding to the driver,
+    which zeroes the ghost field rows (shard_arrays n_real) and unpermutes
+    with perm[:E]."""
     if scfg.lo == 4 or scfg.mono != 0 or scfg.smth_ind:
         raise NotImplementedError(
             "sharded general meshes support ho 1-3, lo 1/2/3/5, fct, "
             "bounds 0/1 (subcell/mono/smoothness-indicator paths are "
             "serial in the reference too, remhos_mono.cpp:285)")
     E = mesh.num_elements
-    if E % n_shards:
-        raise ValueError(f"{E} elements not divisible by {n_shards} shards")
+    E_pad = ((E + n_shards - 1) // n_shards) * n_shards
+    pad = E_pad - E
 
     disc = build_discretization(mesh, order)
     dm = disc.dofmaps
@@ -155,9 +174,23 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
     # permute rows AND remap stored global element ids
     nbr_elem = np.asarray(dm.nbr_elem)[perm]
     nbr_elem = np.where(nbr_elem >= 0, inv_perm[np.maximum(nbr_elem, 0)], -1)
-    nbr_face = np.asarray(mesh.nbr_face)[perm]
-    nbr_facedof = build_facedof_table(dm, np.asarray(mesh.nbr_face))[perm]
+    nbr_face_full = getattr(mesh, "nbr_face", None)
+    if nbr_face_full is None:
+        nbr_face_full = structured_nbr_face(mesh)
+    nbr_face = np.asarray(nbr_face_full)[perm]
+    nbr_facedof = build_facedof_table(dm, np.asarray(nbr_face_full))[perm]
     cg_idx = np.asarray(dm.cg_idx)[perm]
+    n_cg = dm.n_cg
+    if pad:
+        nf = nbr_elem.shape[1]
+        nbr_elem = np.vstack([nbr_elem, np.full((pad, nf), -1, np.int32)])
+        nbr_face = np.vstack([nbr_face, np.zeros((pad, nf), np.int32)])
+        nbr_facedof = np.vstack(
+            [nbr_facedof, np.zeros((pad,) + nbr_facedof.shape[1:], np.int32)])
+        cg_idx = np.vstack(
+            [cg_idx, np.full((pad, cg_idx.shape[1]), n_cg, np.int32)])
+        n_cg += 1                      # spare node absorbs ghost bounds
+        perm = np.concatenate([perm, np.zeros(pad, perm.dtype)])
 
     # per-shard Advection needs only shared tables from dofmaps; blank the
     # full-size per-element tables so nothing stale can be used silently
@@ -176,7 +209,7 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
     def step_local(S, t, dt, x0, v, inflow, ne_l, nf_l, nfd_l, cg_l):
         adv = GeneralShardedAdvection(
             disc_shared, scfg, x0, v, inflow, ne_l, nf_l, nfd_l, cg_l,
-            dm.n_cg, name, bb_min, bb_max)
+            n_cg, name, bb_min, bb_max, dtype=dtype)
         if ode_solver <= 10:
             stepper = steppers.make_rk_step(adv.stage_function(), ode_solver)
         else:

@@ -114,8 +114,8 @@ class ShardedAdvection(Advection):
     """Advection over one shard, halo-aware along all sharded axes."""
 
     def __init__(self, disc, cfg: SolverConfig, x0_nodes, v_nodes, inflow,
-                 axes_spec, periodic_global, bb_min, bb_max):
-        super().__init__(disc, cfg, x0_nodes, v_nodes, inflow)
+                 axes_spec, periodic_global, bb_min, bb_max, dtype=None):
+        super().__init__(disc, cfg, x0_nodes, v_nodes, inflow, dtype=dtype)
         self.axes_spec = axes_spec          # [(mesh_axis, name, n)], outer 1st
         self.periodic_global = periodic_global
         self.bb_min = bb_min                # global box
@@ -231,7 +231,7 @@ class ShardedAdvection(Advection):
 
 def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
                       shard_grid, ode_solver: int, devices=None,
-                      dcn: bool = False):
+                      dcn: bool = False, dtype=None):
     """Build (device_mesh, jitted step, perm) for element-sharded execution.
 
     shard_grid: int (1D, last mesh axis) or tuple over the last k mesh axes.
@@ -246,13 +246,19 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
         # keep exactly prod(shard_grid) devices after slice-major ordering —
         # the Mesh reshape below requires the exact count
         devices = order_devices_for_dcn(devices)[:int(np.prod(shard_grid))]
-    if not getattr(mesh, "structured", True):
+    dim = mesh.dim
+    k = len(shard_grid)
+    divisible = (getattr(mesh, "structured", True) and k <= dim and all(
+        mesh.shape[dim - k + i] % shard_grid[i] == 0 for i in range(k)))
+    if not getattr(mesh, "structured", True) or not divisible:
+        # general-table path: also the fallback for shard counts that do
+        # not divide the structured axes (np=3-style odd counts; ghost
+        # padding in gsharded handles E % n != 0)
         from .gsharded import make_general_sharded_step
         return make_general_sharded_step(mesh, scfg, order,
                                          int(np.prod(shard_grid)),
-                                         ode_solver, devices=devices)
-    dim = mesh.dim
-    k = len(shard_grid)
+                                         ode_solver, devices=devices,
+                                         dtype=dtype)
     lmesh = local_mesh_of(mesh, shard_grid)
     disc_loc = build_discretization(lmesh, order)
     axes_spec = shard_axes_spec(dim, shard_grid)
@@ -268,7 +274,7 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
 
     def step_local(S, t, dt, x0, v, inflow):
         adv = ShardedAdvection(disc_loc, scfg, x0, v, inflow, axes_spec,
-                               periodic_global, bb_min, bb_max)
+                               periodic_global, bb_min, bb_max, dtype=dtype)
         if ode_solver <= 10:
             stepper = steppers.make_rk_step(adv.stage_function(), ode_solver)
         else:
@@ -287,14 +293,23 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
     return dev_mesh, jax.jit(sharded), perm
 
 
-def shard_arrays(dev_mesh, names, S, x0, v, inflow, perm=None):
-    """Permute to shard-block-major order and place with block sharding."""
+def shard_arrays(dev_mesh, names, S, x0, v, inflow, perm=None, n_real=None):
+    """Permute to shard-block-major order and place with block sharding.
+
+    When len(perm) > n_real the tail rows are GHOST padding (gsharded):
+    fields, velocity and inflow are zeroed there (geometry keeps the
+    copied element's valid coordinates)."""
     if perm is not None and not np.array_equal(perm, np.arange(len(perm))):
         pj = jnp.asarray(perm)
         S = S[:, pj]
         x0 = x0[pj]
         v = v[pj]
         inflow = inflow[pj]
+        if n_real is not None and len(perm) > n_real:
+            live = jnp.arange(len(perm)) < n_real
+            S = S * live[None, :, None]
+            v = v * live[:, None, None]
+            inflow = inflow * live[:, None]
     sh_S = NamedSharding(dev_mesh, P(None, names))
     sh_E = NamedSharding(dev_mesh, P(names))
     return (jax.device_put(S, sh_S), jax.device_put(x0, sh_E),

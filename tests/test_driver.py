@@ -240,9 +240,13 @@ class TestCLIAndExtras:
         assert r.max_u <= 1.0 + 1e-10
         # trajectory golden frozen with MFEM's exact RK6Solver (Verner
         # 8-stage) tableau — -s 6 now matches the reference bit-for-bit
-        # modulo round-off ordering
-        assert abs(r.final_mass_u - 0.2674249932098922) < 5e-15
-        assert abs(r.max_u - 0.9996452562338725) < 5e-15
+        # modulo round-off ordering (1e-12 absorbs XLA reduction-order
+        # drift across device-count configs; a tableau change moves
+        # these by >1e-5)
+        assert abs(r.final_mass_u - 0.2674249932098922) < 1e-12
+        # pointwise max flips clip decisions on 1e-14-level drift -> 5e-12
+        # jumps across device-count configs; tableau changes move it >1e-5
+        assert abs(r.max_u - 0.9996452562338725) < 1e-10
 
     def test_cli_roundtrip(self, tmp_path, capsys):
         from remhos_tpu.cli import main
@@ -311,6 +315,26 @@ class TestFloat32Mode:
             assert r.mass_loss_u < 5e-6 * max(abs(r.final_mass_u), 1.0)
         finally:
             jax.config.update("jax_enable_x64", True)
+
+    def test_f32_explicit_dtype_mode(self):
+        # the production f32 mode: x64 stays ON, f32 is an explicit
+        # operator dtype so the mass solve can upcast its ill-conditioned
+        # basis transforms to f64 (docs/PERF.md)
+        r = _run(mesh="inline-quad", problem=14, rs_levels=2, order=3,
+                 dt=0.0015, t_final=0.75, max_tsteps=20,
+                 ho=3, lo=5, fct=2, pa=True, dtype="float32")
+        assert r.max_u <= 1.0 + 1e-5
+        assert r.mass_loss_u < 5e-6 * max(abs(r.final_mass_u), 1.0)
+
+    def test_f32_dtype_matches_f64_short(self):
+        # two steps of the f32 mode must track the f64 trajectory closely
+        kw = dict(mesh="inline-quad", problem=14, rs_levels=1, order=3,
+                  dt=0.005, t_final=0.75, max_tsteps=2, ho=3, lo=5, fct=2,
+                  pa=True)
+        r64 = _run(**kw)
+        r32 = _run(dtype="float32", **kw)
+        assert abs(r32.final_mass_u - r64.final_mass_u) < 5e-5
+        assert abs(r32.max_u - r64.max_u) < 5e-4
 
 
 class TestShardedPA:
