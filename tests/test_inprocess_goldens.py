@@ -53,7 +53,10 @@ def test_inprocess_golden(name, kw, golden, tol):
 @pytest.mark.slow
 @pytest.mark.parametrize("name,kw,golden,tol", SLOW_CASES)
 def test_inprocess_golden_slow(name, kw, golden, tol):
+    import os
     kw = dict(kw)
+    if kw["mesh"].endswith(".mesh") and not os.path.exists(kw["mesh"]):
+        pytest.skip("reference mesh data not available")
     ms = kw.pop("max_tsteps", 5)
     r = run(RunConfig(dt=-1.0, t_final=0.5, ho=3, lo=5, fct=2,
                       max_tsteps=ms, verbose=False, **kw))
