@@ -118,8 +118,12 @@ class Advection:
                 self.v_nodes, self.Bmf.reshape(nf * Qf, nm)).reshape(
                     self.v_nodes.shape[0], nf, Qf, -1)
         self.Bu_w = self.Bu * self.w_q[:, None]
-        self.bb_min = disc.mesh.bb_min
-        self.bb_max = disc.mesh.bb_max
+        # sharded subclasses pre-set the GLOBAL bounding box before calling
+        # super().__init__ (velocity fields scale with it; the local
+        # shard's box would silently change problem velocities)
+        if not hasattr(self, "bb_min"):
+            self.bb_min = disc.mesh.bb_min
+            self.bb_max = disc.mesh.bb_max
         # roll-based structured neighbor gather (fast path); general
         # meshes use the index-table gather from assembly.py
         mesh = disc.mesh

@@ -78,10 +78,14 @@ class GeneralShardedAdvection(Advection):
 
     def __init__(self, disc, cfg, x0, v, inflow, nbr_elem, nbr_face,
                  nbr_facedof, cg_idx, n_cg, axis_name, bb_min, bb_max,
-                 dtype=None):
+                 dtype=None, sub_bmask=None):
+        self.bb_min = bb_min    # GLOBAL box, pre-set so init-time velocity
+        self.bb_max = bb_max    # evals use it (gsharded disc keeps the
+        #                         global mesh, but be explicit like sharded)
+        if sub_bmask is not None:
+            # per-shard slice of the global subcell boundary-velocity mask
+            self._sub_bmask = sub_bmask
         super().__init__(disc, cfg, x0, v, inflow, dtype=dtype)
-        self.bb_min = bb_min
-        self.bb_max = bb_max
         self._name = axis_name
         self._nbr_elem = nbr_elem          # [E_loc, nf] GLOBAL ids (-1 bdr)
         self._nbr_face = jnp.maximum(nbr_face, 0)
@@ -156,11 +160,11 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
     nothing to any reduction. len(perm) > E signals padding to the driver,
     which zeroes the ghost field rows (shard_arrays n_real) and unpermutes
     with perm[:E]."""
-    if scfg.lo == 4 or scfg.mono != 0 or scfg.smth_ind:
+    if scfg.mono != 0 or scfg.smth_ind:
         raise NotImplementedError(
-            "sharded general meshes support ho 1-3, lo 1/2/3/5, fct, "
-            "bounds 0/1 (subcell/mono/smoothness-indicator paths are "
-            "serial in the reference too, remhos_mono.cpp:285)")
+            "sharded general meshes support ho 1-3, lo 1-5, fct, "
+            "bounds 0/1 (mono/smoothness-indicator paths are serial in "
+            "the reference too, remhos_mono.cpp:285)")
     E = mesh.num_elements
     E_pad = ((E + n_shards - 1) // n_shards) * n_shards
     pad = E_pad - E
@@ -181,6 +185,13 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
     nbr_facedof = build_facedof_table(dm, np.asarray(nbr_face_full))[perm]
     cg_idx = np.asarray(dm.cg_idx)[perm]
     n_cg = dm.n_cg
+    sub_bmask = None
+    if scfg.lo == 4:
+        # subcell boundary-velocity mask in GLOBAL context, sharded like
+        # the other per-element tables (ghosts: True -> zero velocity)
+        from .. import subcell as subm
+        sub_bmask = np.asarray(
+            subm.boundary_node_mask(mesh, disc.ref_nodes_u))[perm]
     if pad:
         nf = nbr_elem.shape[1]
         nbr_elem = np.vstack([nbr_elem, np.full((pad, nf), -1, np.int32)])
@@ -190,6 +201,9 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
         cg_idx = np.vstack(
             [cg_idx, np.full((pad, cg_idx.shape[1]), n_cg, np.int32)])
         n_cg += 1                      # spare node absorbs ghost bounds
+        if sub_bmask is not None:
+            sub_bmask = np.vstack(
+                [sub_bmask, np.ones((pad, sub_bmask.shape[1]), bool)])
         perm = np.concatenate([perm, np.zeros(pad, perm.dtype)])
 
     # per-shard Advection needs only shared tables from dofmaps; blank the
@@ -206,10 +220,11 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
     dev_mesh = Mesh(np.asarray(devices).reshape(n_shards), (name,))
     bb_min, bb_max = mesh.bb_min, mesh.bb_max
 
-    def step_local(S, t, dt, x0, v, inflow, ne_l, nf_l, nfd_l, cg_l):
+    def step_local(S, t, dt, x0, v, inflow, ne_l, nf_l, nfd_l, cg_l, bm_l):
         adv = GeneralShardedAdvection(
             disc_shared, scfg, x0, v, inflow, ne_l, nf_l, nfd_l, cg_l,
-            n_cg, name, bb_min, bb_max, dtype=dtype)
+            n_cg, name, bb_min, bb_max, dtype=dtype,
+            sub_bmask=bm_l if scfg.lo == 4 else None)
         if ode_solver <= 10:
             stepper = steppers.make_rk_step(adv.stage_function(), ode_solver)
         else:
@@ -223,15 +238,18 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
     sharded = jax.shard_map(
         step_local, mesh=dev_mesh,
         in_specs=(P(None, name), P(), P(), P(name), P(name), P(name),
-                  P(name), P(name), P(name), P(name)),
+                  P(name), P(name), P(name), P(name), P(name)),
         out_specs=(P(None, name), P()))
 
     ne_j = jnp.asarray(nbr_elem)
     nf_j = jnp.asarray(nbr_face)
     nfd_j = jnp.asarray(nbr_facedof)
     cg_j = jnp.asarray(cg_idx)
+    bm_j = (jnp.asarray(sub_bmask) if sub_bmask is not None
+            else jnp.zeros((len(perm), dm.nd), bool))
 
     def step(S, t, dt, x0, v, inflow):
-        return sharded(S, t, dt, x0, v, inflow, ne_j, nf_j, nfd_j, cg_j)
+        return sharded(S, t, dt, x0, v, inflow, ne_j, nf_j, nfd_j, cg_j,
+                       bm_j)
 
     return dev_mesh, jax.jit(step), perm

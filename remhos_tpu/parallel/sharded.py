@@ -115,16 +115,52 @@ class ShardedAdvection(Advection):
 
     def __init__(self, disc, cfg: SolverConfig, x0_nodes, v_nodes, inflow,
                  axes_spec, periodic_global, bb_min, bb_max, dtype=None):
+        self.bb_min = bb_min                # GLOBAL box, pre-set so init-time
+        self.bb_max = bb_max                # velocity evals use it
+        if cfg.lo == 4 or cfg.mono == 2:
+            # subcell velocity must be zeroed at PHYSICAL boundaries only
+            # (remhos.cpp:841-852); the local mesh's sharded axes read as
+            # non-periodic edges, so build the mask in global context
+            self._sub_bmask = self._shard_boundary_mask(
+                disc, axes_spec, periodic_global)
         super().__init__(disc, cfg, x0_nodes, v_nodes, inflow, dtype=dtype)
         self.axes_spec = axes_spec          # [(mesh_axis, name, n)], outer 1st
         self.periodic_global = periodic_global
-        self.bb_min = bb_min                # global box
-        self.bb_max = bb_max
         dim = disc.dim
         faces = faces_for_dim(dim)
         self._face_of = {(a, s): f for f, (a, s) in enumerate(faces)}
         self._names = tuple(name for _, name, _ in axes_spec)
         self.gather_nbr = self._gather_nbr_halo
+
+    @staticmethod
+    def _shard_boundary_mask(disc, axes_spec, periodic_global):
+        """[E_loc, nd] True at uniform nodes on the GLOBAL physical
+        boundary: local-edge criteria on non-sharded axes, local edge AND
+        shard-at-global-edge (edge_masks) on sharded axes."""
+        import numpy as np
+        mesh = disc.mesh
+        dim = mesh.dim
+        ref = np.asarray(disc.ref_nodes_u)        # [nd, dim]
+        E = mesh.num_elements
+        eidx = np.stack(np.unravel_index(np.arange(E), mesh.shape,
+                                         order="F"), axis=-1)
+        sharded = {a: (name, n) for a, name, n in axes_spec}
+        mask = jnp.zeros((E, ref.shape[0]), bool)
+        for d in range(dim):
+            per = (periodic_global[d] if d in sharded else mesh.periodic[d])
+            if per:
+                continue
+            at_lo = jnp.asarray((eidx[:, d] == 0)[:, None]
+                                & (ref[None, :, d] == 0.0))
+            at_hi = jnp.asarray((eidx[:, d] == mesh.shape[d] - 1)[:, None]
+                                & (ref[None, :, d] == 1.0))
+            if d in sharded:
+                name, n = sharded[d]
+                has_prev, has_next = halo.edge_masks(name, n, False)
+                mask = mask | (at_lo & ~has_prev) | (at_hi & ~has_next)
+            else:
+                mask = mask | at_lo | at_hi
+        return mask
 
     # -- per-axis slab exchange -------------------------------------------
     def _exchange(self, name, n, bot, top):

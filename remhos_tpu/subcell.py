@@ -80,7 +80,13 @@ def subcell_node_setup(adv):
     if adv.cfg.exec_mode == 1:
         v = prob.velocity_function(adv.cfg.problem, x0_sub, adv.bb_min,
                                    adv.bb_max)
-        mask = jnp.asarray(boundary_node_mask(disc.mesh, disc.ref_nodes_u))
+        # sharded operators pre-compute the mask in GLOBAL context (a
+        # shard's interface to its neighbor is NOT a physical boundary);
+        # see ShardedAdvection._shard_boundary_mask / gsharded
+        mask = getattr(adv, "_sub_bmask", None)
+        if mask is None:
+            mask = jnp.asarray(boundary_node_mask(disc.mesh,
+                                                  disc.ref_nodes_u))
         v_sub = jnp.where(mask[:, :, None], 0.0, v)
     return x0_sub, v_sub
 

@@ -63,10 +63,21 @@ def test_star_q2_curved_remap_sharded_matches():
 
 
 @needs_data
-def test_sharded_general_rejects_subcell():
+def test_sharded_general_subcell_rd_matches():
+    # subcell RD (-lo 4) on a sharded general mesh: the global subcell
+    # boundary-velocity mask rides shard_map like the other tables
+    r1, r8 = _pair(dict(mesh=UNSTR, problem=1, rs_levels=1, order=2,
+                        dt=0.02, t_final=0.04, ho=3, lo=4, fct=2), n=8)
+    assert abs(r1.final_mass_u - r8.final_mass_u) < 1e-13 * abs(
+        r1.final_mass_u)
+    assert abs(r1.max_u - r8.max_u) < 1e-13
+
+
+@needs_data
+def test_sharded_general_rejects_mono():
     with pytest.raises(NotImplementedError):
-        run(RunConfig(mesh=UNSTR, problem=1, rs_levels=1, order=2,
-                      dt=0.02, t_final=0.04, ho=3, lo=4, fct=2,
+        run(RunConfig(mesh=UNSTR, problem=0, rs_levels=1, order=2,
+                      dt=0.02, t_final=0.04, mono=1, ho=0, lo=0, fct=0,
                       n_shards=8, verbose=False))
 
 

@@ -48,3 +48,23 @@ class TestOddShardCounts:
                        ho=3, lo=5, fct=2)
         assert abs(r1.final_mass_u - r3.final_mass_u) < 1e-12
         assert abs(r1.max_u - r3.max_u) < 1e-12
+
+
+class TestShardedSubcell:
+    def test_subcell_rd_remap_sharded_matches(self):
+        # regression: init-time computations (subcell boundary velocity)
+        # must use the GLOBAL bounding box and a global-context boundary
+        # mask — the local shard's box/edges silently changed velocities
+        r1, r2 = _pair(2, mesh="inline-quad", problem=14, rs_levels=1,
+                       order=2, dt=0.01, t_final=1.0, max_tsteps=4,
+                       ho=3, lo=4, fct=2)
+        assert abs(r1.final_mass_u - r2.final_mass_u) < 1e-13
+        assert abs(r1.max_u - r2.max_u) < 1e-13
+
+    def test_subcell_rd_remap_odd_shards(self):
+        # same through the general-table fallback (n=3 + ghost padding)
+        r1, r3 = _pair(3, mesh="inline-quad", problem=14, rs_levels=1,
+                       order=2, dt=0.01, t_final=1.0, max_tsteps=4,
+                       ho=3, lo=4, fct=2)
+        assert abs(r1.final_mass_u - r3.final_mass_u) < 1e-13
+        assert abs(r1.max_u - r3.max_u) < 1e-13
