@@ -238,21 +238,21 @@ def main():
 def main_dual():
     """f32 headline + f64 reference-precision in one JSON line.
 
-    The f64 leg runs FIRST (2 steps) and dumps its state; the f32 leg's
-    cross-precision check then reuses that dump instead of spawning a
-    second full f64 compile."""
+    The f32 leg runs FIRST and its (verified) JSON is printed as soon as
+    it exists, so a partial record survives if the driver's time budget
+    kills the slower f64 leg. The f32 leg's cross-precision check dumps
+    the f64 2-step state; the f64 FOM leg runs the SAME 2-step program
+    afterwards (compile-cache friendly). The LAST printed JSON line is
+    the complete record."""
     ref_path = "/tmp/bench_f64_2step.npy"
     vals = {}
-    for dtype in ("float64", "float32"):
+    for dtype in ("float32", "float64"):
         env = dict(os.environ)
         env["BENCH_DTYPE"] = dtype
         env["BENCH_DUAL"] = "0"
         if dtype == "float64":
             env["BENCH_PHASES"] = "0"       # phase FOMs: f32 hot path only
             env["BENCH_STEPS"] = os.environ.get("BENCH_STEPS_F64", "2")
-            env["BENCH_CROSSDUMP"] = ref_path
-        else:
-            env["BENCH_CROSSREF"] = ref_path
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True)
         for line in out.stdout.splitlines():
@@ -263,6 +263,8 @@ def main_dual():
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
             sys.exit(1)
+        if dtype == "float32" and "float32" in vals:
+            print(json.dumps(vals["float32"]), flush=True)
     f32 = vals.get("float32", {})
     f64 = vals.get("float64", {})
     result = dict(f32)
