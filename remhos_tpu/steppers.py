@@ -6,9 +6,10 @@
   (LimitedTimeDependentOperator::Mult, remhos_solvers.hpp:46-50).
 - IDP (invariant-domain-preserving) RK: every stage re-expressed as a
   limited forward-Euler update via coefficients d from the Butcher tableau
-  (RKIDPSolver, remhos_solvers.cpp:40-249; -s 11/12/13/14/16). The driver
-  disables stage masks (remhos.cpp:502-506), matching UseMask(false); the
-  masked path is kept for product remap experiments.
+  (RKIDPSolver, remhos_solvers.cpp:40-249; -s 11/12/13/14/16). Stage masks
+  (ComputeMask/UpdateMask/AddMasked) are implemented and enabled with -um;
+  default off like the reference driver's UseMask(false)
+  (remhos.cpp:502-506).
 
 `f(t, dt_stage_for_limiter, u)` -> du; steppers are pure and jit-safe.
 The `dt` passed to f is what the limiter uses as SetDt (for standard RK the
