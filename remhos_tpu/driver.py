@@ -198,7 +198,8 @@ def run(cfg: RunConfig) -> RunResult:
                                               adv.limit_mult,
                                               cfg.ode_solver,
                                               compute_mask=adv.compute_mask,
-                                              use_masks=cfg.use_masks))
+                                              use_masks=cfg.use_masks,
+                                              geometry=adv.geometry))
 
     # --- time loop (remhos.cpp:1146-1330) ---
     if shard_grid is not None:

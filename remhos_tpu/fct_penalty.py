@@ -28,6 +28,14 @@ def _sum_z(lam, w, fL):
 def nonlinear_penalty(adv, geom, u, du_ho, du_lo, u_min, u_max, dt,
                       n_bisect=110):
     m = geom["ml"]
+    # smoothness-indicator sharpening: relax the per-dof bounds toward the
+    # new HO value in smooth regions BEFORE clipping (the reference's only
+    # working FCT+SI path, remhos_fct.cpp:779-794; ClipScale aborts with
+    # SI at :463-465 and FluxBased requires si==NULL at :160)
+    if adv.cfg.smth_ind:
+        si_dof = adv.smth.dof_values(adv.smth.compute(u))
+        u_min, u_max = adv.smth.update_bounds(u + dt * du_ho, u_min, u_max,
+                                              si_dof)
     # clipped HO update (uses u at the old time, remhos_fct.cpp:796-799)
     du_ho_star = jnp.minimum((u_max - u) / dt,
                              jnp.maximum(du_ho, (u_min - u) / dt))

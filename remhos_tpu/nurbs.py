@@ -18,8 +18,9 @@ nets (Bézier extraction), which is what this module does:
   bookkeeping for the topology,
 - evaluate at GLL tensor points -> GeneralMesh (umesh.py topology).
 
-3D NURBS (ball-nurbs, quartic patches) needs the 3D unstructured
-orientation tables and is planned for the next round.
+3D NURBS (ball-nurbs, quartic patches) works the same way through the 3D
+unstructured orientation tables (umesh3d.py); the ball-nurbs PA golden
+rows match the reference bit-for-bit at print precision.
 """
 
 from __future__ import annotations

@@ -147,13 +147,59 @@ class Advection:
             from . import mono as monom
             self.mono_scale = jnp.asarray(monom.velocity_scale(
                 disc.mesh, disc, cfg.problem, self.bb_min, self.bb_max))
+        # fully fused stage path (ops/pallas_kernels.fused_stage_ho):
+        # geometry + volume convection + DG face flux + GL mass-inverse CG
+        # in one Pallas kernel. Covers the canonical FOM config family
+        # (-ho 3 [-lo 5] [-fct 2] -pa, remap); other configs use the
+        # fused_geom_conv + XLA composition.
+        self._fused_stage = bool(
+            cfg.pa and cfg.use_pallas and cfg.exec_mode == 1
+            and cfg.ho == 3 and cfg.lo in (0, 5) and cfg.fct in (0, 2)
+            and cfg.mono == 0 and cfg.smth_ind == 0
+            and self._face_tan is not None and disc.dim in (2, 3))
+        # tables must be built OUTSIDE any trace (asarray with a dtype cast
+        # stages a convert op; caching it from inside jit leaks a tracer)
+        if self._fused_stage:
+            from .ops import pallas_kernels as pk
+            self._stage_tables = pk.stage_ho_tables(disc, dtype)
+
+    def _stage_ho_fused(self, geom, u):
+        """Run the fused HO stage kernel; populate geom's wdet/detJ/ml on
+        first use (one kernel per field, same stage geometry)."""
+        from .ops import pallas_kernels as pk
+        u_nbr = self.gather_nbr(u).reshape(u.shape[0], -1)
+        du, wdet = pk.fused_stage_ho(geom["xs"], self.v_nodes, u, u_nbr,
+                                     self._stage_tables, mode=1.0)
+        if "wdet" not in geom:
+            geom["wdet"] = wdet
+            geom["detJ"] = wdet / self.w_q[None, :]
+            geom["ml"] = pam.lumped_mass_pa(wdet, self.Bu)
+        return du
+
+    def _ensure_stage_geom(self, geom):
+        """Fused-stage geom dicts get wdet/detJ/ml as kernel by-products;
+        if limit_mult runs before any fused kernel has (e.g. standalone),
+        derive them here."""
+        if not self._fused_stage or "wdet" in geom:
+            return geom
+        from .ops import pallas_kernels as pk
+        wdet = pk.fused_wdet(geom["xs"], self.disc)
+        geom["wdet"] = wdet
+        geom["detJ"] = wdet / self.w_q[None, :]
+        geom["ml"] = pam.lumped_mass_pa(wdet, self.Bu)
+        return geom
 
     # ------------------------------------------------------------------
     # geometry / operators at a stage time
     # ------------------------------------------------------------------
 
     def geometry(self, t):
-        """All stage-dependent operator data (remhos.cpp:1598-1676)."""
+        """All stage-dependent operator data (remhos.cpp:1598-1676).
+
+        Computed ONCE per stage and threaded through both mult_unlimited
+        and limit_mult (see stage_function / make_idp_step; the reference
+        reuses its per-stage assembly the same way, and XLA cannot CSE the
+        Pallas custom-calls across the two halves)."""
         cfg = self.cfg
         sub_w = None
         if cfg.lo == 4 or cfg.mono == 2:
@@ -163,6 +209,11 @@ class Advection:
             x = self.x0_nodes + t * self.v_nodes
         else:
             x = self.x0_nodes
+
+        if self._fused_stage:
+            # everything stage-dependent happens inside fused_stage_ho;
+            # wdet/detJ/ml are populated as kernel by-products
+            return dict(xs=x, sub_w=sub_w)
 
         if cfg.pa and cfg.exec_mode == 1:
             # remap PA hot path (the reference's RHS-FOM bottleneck,
@@ -245,6 +296,8 @@ class Advection:
 
     def _ho_solution(self, geom, u):
         cfg = self.cfg
+        if self._fused_stage:
+            return self._stage_ho_fused(geom, u)
         if cfg.pa and cfg.ho in (2, 3):
             u_nbr = self.gather_nbr(u)
             if "va" not in geom:
@@ -363,11 +416,12 @@ class Advection:
     # stage functions (over the block state S[nfields, E, nd])
     # ------------------------------------------------------------------
 
-    def mult_unlimited(self, t, dt, S):
+    def mult_unlimited(self, t, dt, S, geom=None):
         """HO (or mono/LO-only) update for all fields
         (AdvectionOperator::MultUnlimited, remhos.cpp:1596-1739)."""
         cfg = self.cfg
-        geom = self.geometry(t)
+        if geom is None:
+            geom = self.geometry(t)
         outs = []
         for k in range(S.shape[0]):
             u = S[k]
@@ -390,7 +444,7 @@ class Advection:
         shape-stable whether or not -vb is active."""
         return jnp.stack([ratio, -viol.astype(ratio.dtype)])
 
-    def limit_mult(self, t, dt, S, dS):
+    def limit_mult(self, t, dt, S, dS, geom=None):
         """FCT limiting for all fields (AdvectionOperator::LimitMult,
         remhos.cpp:1798-1916). Returns (dS_limited, aux) with
         aux = [dt_ratio, -bounds_violations] (see _aux)."""
@@ -399,14 +453,15 @@ class Advection:
         viol = jnp.zeros((), jnp.int32)
         if cfg.fct == 0:
             if cfg.dt_control != 0 and cfg.lo != 0:
-                geom = self.geometry(t)
                 u = S[0]
                 el_min, el_max = bnd.elements_min_max(u)
                 x_min, x_max = self.compute_bounds(el_min, el_max)
                 ratio = self._dt_ratio(u, dS[0], x_min, x_max, dt)
             return dS, self._aux(ratio, viol)
 
-        geom = self.geometry(t)
+        if geom is None:
+            geom = self.geometry(t)
+        self._ensure_stage_geom(geom)
         u, du_HO = S[0], dS[0]
         du_LO = self._lo_solution(geom, u, du_HO=du_HO, dt=dt)
         el_min, el_max = bnd.elements_min_max(u)
@@ -522,8 +577,10 @@ class Advection:
 
     def stage_function(self):
         """f(t, dt, S) -> (dS, aux) for the standard RK path
-        (LimitedTimeDependentOperator::Mult)."""
+        (LimitedTimeDependentOperator::Mult). The stage geometry is
+        computed once and shared by both halves."""
         def f(t, dt, S):
-            dS = self.mult_unlimited(t, dt, S)
-            return self.limit_mult(t, dt, S, dS)
+            geom = self.geometry(t)
+            dS = self.mult_unlimited(t, dt, S, geom=geom)
+            return self.limit_mult(t, dt, S, dS, geom=geom)
         return f

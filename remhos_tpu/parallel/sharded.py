@@ -317,7 +317,8 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
             stepper = steppers.make_idp_step(adv.mult_unlimited,
                                              adv.limit_mult, ode_solver,
                                              compute_mask=adv.compute_mask,
-                                             use_masks=scfg.use_masks)
+                                             use_masks=scfg.use_masks,
+                                             geometry=adv.geometry)
         S_new, ratio = stepper(S, t, dt)
         return S_new, lax.pmin(ratio, names)
 

@@ -128,13 +128,17 @@ def make_rk_step(f, kind: int):
 
 
 def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
-                  use_masks=False):
+                  use_masks=False, geometry=None):
     """IDP-RK step mirroring RKIDPSolver::Step (remhos_solvers.cpp:171-249).
 
     mult_unlimited(t, dt, u) -> du_unlimited
     limit_mult(t, dt, u, du) -> (du_limited, aux)
     compute_mask(u) -> bool mask, same shape as u (ComputeMask,
     remhos.cpp:1741-1796); only used when use_masks is True.
+    geometry(t) -> stage geometry dict, computed once per distinct stage
+    time and threaded through both halves (Advection.geometry; the
+    reference likewise reuses its per-stage assembly across
+    MultUnlimited/LimitMult). None keeps the plain 3-arg calls.
 
     With use_masks the high-order recombination is applied only on masked
     dofs; unmasked dofs keep the plain stage update (forward Euler), so
@@ -148,10 +152,34 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
     if use_masks and compute_mask is None:
         raise ValueError("use_masks requires a compute_mask function")
 
+    if geometry is None:
+        def mu(t, dt, u, _cache=None, _key=None):
+            return mult_unlimited(t, dt, u)
+
+        def lm(t, dt, u, du, _cache=None, _key=None):
+            return limit_mult(t, dt, u, du)
+    else:
+        # stage times are t + c*dt with static c, so a per-step cache
+        # keyed on c shares one geometry per distinct stage time
+        def _geom(cache, key, t):
+            if cache is not None and key in cache:
+                return cache[key]
+            g = geometry(t)
+            if cache is not None:
+                cache[key] = g
+            return g
+
+        def mu(t, dt, u, _cache=None, _key=None):
+            return mult_unlimited(t, dt, u, geom=_geom(_cache, _key, t))
+
+        def lm(t, dt, u, du, _cache=None, _key=None):
+            return limit_mult(t, dt, u, du, geom=_geom(_cache, _key, t))
+
     if kind == 11:
         def step(u, t, dt):
-            du = mult_unlimited(t, dt, u)
-            du, aux = limit_mult(t, dt, u, du)
+            cache = {}
+            du = mu(t, dt, u, cache, 0.0)
+            du, aux = lm(t, dt, u, du, cache, 0.0)
             return u + dt * du, aux
         return step
 
@@ -161,13 +189,14 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
     d = construct_d(tab["a"], tab["b"], tab["c"], s)
 
     def step(u, t, dt):
+        cache = {}
         dxs = []
         aux = jnp.asarray(jnp.inf, dtype=u.dtype)
         mask = None
         # stage 0
         dt0 = c[0] * dt
-        dx = mult_unlimited(t, dt0, u)
-        dx, a = limit_mult(t, dt0, u, dx)
+        dx = mu(t, dt0, u, cache, 0.0)
+        dx, a = lm(t, dt0, u, dx, cache, 0.0)
         aux = jnp.minimum(aux, a)
         dxs.append(dx)
         c_o = 0.0
@@ -186,7 +215,7 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
             c_n = c[i] if i < s - 1 else 1.0
             dc = c_n - c_o
             dct = dc * dt
-            dx = mult_unlimited(t_stage, dct, x)
+            dx = mu(t_stage, dct, x, cache, c_o)
             if use_masks:
                 # UpdateMask: AND with activity of the unlimited HO update
                 # (remhos_solvers.cpp:127-147, 213)
@@ -206,7 +235,7 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
                 for j in range(i):
                     if d[di + j] != 0.0:
                         dx = dx + d[di + j] * dxs[j]
-            dx, a = limit_mult(t_stage, dct, x, dx)
+            dx, a = lm(t_stage, dct, x, dx, cache, c_o)
             aux = jnp.minimum(aux, a)
             dxs.append(dx)
             c_next = c[i + 1] if i < s - 2 else 1.0

@@ -17,7 +17,9 @@ only builds the *topology* tables:
 
 MFEM quad vertex order (v0,v1,v2,v3) is counterclockwise; the tensor
 (lexicographic) corner order used everywhere here is [v0, v1, v3, v2].
-Sharding of unstructured meshes is deferred (single-chip path).
+Sharded execution of these general meshes lives in parallel/gsharded.py
+(Morton-blocked elements, all-gathered face traces, ghost padding for
+non-divisible shard counts).
 """
 
 from __future__ import annotations

@@ -200,6 +200,24 @@ class TestFluxBasedAndPenalty:
         assert r.mass_loss_u < 1e-10
         assert r.max_u <= 1.0 + 1e-10
 
+    def test_nonlinear_penalty_sharpening(self):
+        """-fct 3 -si: SI relaxes per-dof bounds toward the HO value before
+        the clip (remhos_fct.cpp:779-794) — the sharpened run must differ
+        from the unsharpened one, stay conservative, and track the HO
+        update more closely in smooth regions."""
+        kw = dict(mesh="periodic-square", problem=4, rs_levels=2, order=3,
+                  dt=0.005, t_final=0.05, ho=3, lo=3, fct=3, verbose=False)
+        r0 = _run(**kw)
+        r1 = _run(smth_ind=1, **kw)
+        assert r1.mass_loss_u < 1e-10
+        assert abs(r1.final_mass_u - r0.final_mass_u) < 1e-10
+        # sharpening changes the solution (bounds were actually relaxed);
+        # max_u is pinned at the global cap, so compare the L1 error
+        assert abs(r1.l1_error - r0.l1_error) > 1e-8
+        r2 = _run(smth_ind=2, **kw)
+        assert r2.mass_loss_u < 1e-10
+        assert abs(r2.l1_error - r1.l1_error) > 1e-10   # -si 1 and 2 differ
+
 
 class TestPartialAssembly:
     """PA (matrix-free) must reproduce FA exactly for supported configs."""

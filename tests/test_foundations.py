@@ -171,6 +171,59 @@ def test_pallas_kernels_interpret():
     assert float(jnp.abs(resid).max()) < 1e-7
 
 
+def test_fused_stage_ho_interpret():
+    """fused_stage_ho (geometry+conv+face+CG in one kernel) == the XLA PA
+    composition, and the operator-level fused path == the unfused path."""
+    from remhos_tpu.operator import Advection, SolverConfig
+    from remhos_tpu.ops import pallas_kernels as pk
+
+    for dims, shape in ((3, (4, 4, 4)), (2, (6, 6))):
+        m = make_cartesian_mesh(dims, shape, (0,) * dims, (1,) * dims,
+                                (False,) * dims)
+        disc = build_discretization(m, p=3)
+        scfg = SolverConfig(problem=10, ho=3, lo=5, fct=2, pa=True)
+        x0 = jnp.asarray(m.x)
+        v = 0.1 * jnp.sin(x0)
+        adv = Advection(disc, scfg, x0, v, None)      # XLA reference path
+        rng = np.random.default_rng(1)
+        E = m.num_elements
+        u = jnp.asarray(rng.standard_normal((E, disc.nd)))
+        t = 0.37
+        geom = adv.geometry(t)
+        du_ref = np.asarray(adv._ho_solution(geom, u))
+
+        tables = pk.stage_ho_tables(disc, None)
+        u_nbr = adv.gather_nbr(u).reshape(E, -1)
+        du, wdet = pk.fused_stage_ho(x0 + t * v, v, u, u_nbr, tables,
+                                     mode=1.0, block_e=64, interpret=True)
+        assert np.abs(np.asarray(wdet) - np.asarray(geom["wdet"])).max() \
+            < 1e-13
+        scale = np.abs(du_ref).max()
+        assert np.abs(np.asarray(du) - du_ref).max() < 1e-9 * scale
+
+    # operator-level: use_pallas Advection runs the fused stage (interpret
+    # mode on CPU) and its stage function matches the unfused one
+    m = make_cartesian_mesh(3, (4, 4, 4), (0, 0, 0), (1, 1, 1),
+                            (False, False, False))
+    disc = build_discretization(m, p=3)
+    x0 = jnp.asarray(m.x)
+    v = 0.1 * jnp.sin(x0)
+    pcfg = SolverConfig(problem=10, ho=3, lo=5, fct=2, pa=True,
+                        use_pallas=True)
+    advp = Advection(disc, pcfg, x0, v, None)
+    assert advp._fused_stage
+    rng = np.random.default_rng(2)
+    u0 = jnp.asarray(rng.random((m.num_elements, disc.nd)))
+    S = jnp.stack([u0])
+    scfg = SolverConfig(problem=10, ho=3, lo=5, fct=2, pa=True)
+    adv = Advection(disc, scfg, x0, v, None)
+    dS_ref, _ = adv.stage_function()(0.3, 0.01, S)
+    dS_fused, _ = advp.stage_function()(0.3, 0.01, S)
+    scale = np.abs(np.asarray(dS_ref)).max()
+    assert np.abs(np.asarray(dS_fused) - np.asarray(dS_ref)).max() \
+        < 1e-9 * scale
+
+
 def test_rk6_tableau_is_mfem_verner():
     """The -s 6 tableau must be MFEM's RK6Solver (Verner 8-stage, order 6):
     validate row sums, quadrature conditions through order 6, deeper order
