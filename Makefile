@@ -18,6 +18,16 @@ tests:
 goldens:
 	$(PY) tools/run_goldens.py
 
+# the reference baseline is all `mpirun -np 2` (autotest/test.sh:14), and
+# its in-process tests re-run at np=3 (CMakeLists.txt:79-81): mirror both
+# as a recorded sharded gate — full matrix at 2 shards, a structured +
+# unstructured + product + 3D sample at the odd count 3
+goldens-sharded:
+	$(PY) tools/run_goldens.py --n-shards 2
+	$(PY) tools/run_goldens.py --n-shards 3 --only \
+	    transport-cube-m1 remap-pacman-m3pa remap-cube3d-m5 \
+	    transport-hexagon-m5 product-remap-fe-fct
+
 # one-line JSON FOM benchmark (runs on the TPU)
 bench:
 	$(PY) bench.py

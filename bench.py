@@ -18,6 +18,10 @@ Default output is ONE JSON line with the f32 headline, the f64
 (reference-precision) FOM, the five per-phase FOMs, and an MFU/roofline
 estimate from XLA's cost analysis. Environment knobs:
   BENCH_N        mesh edge elements (default 24 -> 884736 dofs at p=3)
+  BENCH_P        polynomial order (default 3; the dual record also runs a
+                 p=4 leg -- the BASELINE.md target point)
+  BENCH_P4       "0" skips the p=4 leg of the dual record
+  BENCH_CROSSCHECK "0" skips the f32-vs-f64 state cross-check
   BENCH_STEPS    timed RK3 steps (default 10)
   BENCH_PALLAS   "0" disables the fused Pallas geometry kernel (default on)
   BENCH_DUAL     "0" skips the f64 run
@@ -72,7 +76,7 @@ def build_case():
     from remhos_tpu.operator import Advection, SolverConfig
 
     n = int(os.environ.get("BENCH_N", "24"))
-    order, problem = 3, 10
+    order, problem = int(os.environ.get("BENCH_P", "3")), 10
     mesh = make_cartesian_mesh(3, (n, n, n), (0, 0, 0), (1, 1, 1),
                                (False, False, False))
     disc = build_discretization(mesh, order)
@@ -118,7 +122,7 @@ def verify(adv64, S0, S_final, dt, n_steps):
     f64 verification operator so the check measures the trajectory."""
     # jit: eager geometry picks pathological padded layouts on TPU
     # (a [E,3,216,3] temp padded 42x -> OOM)
-    mlfn = jax.jit(lambda t: adv64.geometry(t)["ml"])
+    mlfn = jax.jit(adv64.lumped_mass)
     ml0 = mlfn(jnp.asarray(0.0))
     mlT = mlfn(jnp.asarray(n_steps * dt))
     mass0 = float((ml0 * S0[0].astype(ml0.dtype)).sum())
@@ -192,7 +196,7 @@ def main():
     if _env_on("BENCH_VERIFY"):
         extras["mass_rel_loss"] = round(
             verify(adv64, S, S_final, dt, n_steps), 12)
-        if DTYPE == "float32":
+        if DTYPE == "float32" and _env_on("BENCH_CROSSCHECK"):
             two = make_loop(step, dt, 2)(S, jnp.asarray(0.0, S.dtype))
             jax.block_until_ready(two)
             extras["f32_vs_f64_2step_rel"] = round(
@@ -200,8 +204,10 @@ def main():
 
     stages = 3  # RK3: FOM counts stages (remhos.cpp:1340-1347)
     fom = 1e-6 * ndofs * n_steps * stages / wall
+    _P = os.environ.get("BENCH_P", "3")
     result = {
-        "metric": f"fom_total_p3_3d_remap_pa_{_TAG}",
+        "metric": f"fom_total_p{_P}_3d_remap_pa_{_TAG}",
+        "ndofs": ndofs,
         "value": round(fom, 3),
         "unit": "MDOF*stages/s",
         "vs_baseline": round(fom / BASELINE_FOM, 3),
@@ -222,7 +228,7 @@ def main():
 
     if _env_on("BENCH_PHASES"):
         from remhos_tpu.utils.fom import measure_phases, print_fom_report
-        phases = measure_phases(adv, S[0], dt, n_stages=30)
+        phases = measure_phases(adv, S[0], dt, n_steps=n_steps)
         foms = print_fom_report(phases, ndofs, n_steps * stages,
                                 total_wall=wall)
         for k, v in foms.items():
@@ -244,30 +250,45 @@ def main_dual():
     the f64 2-step state; the f64 FOM leg runs the SAME 2-step program
     afterwards (compile-cache friendly). The LAST printed JSON line is
     the complete record."""
-    ref_path = "/tmp/bench_f64_2step.npy"
     vals = {}
-    for dtype in ("float32", "float64"):
+    legs = [("float32", {})]
+    if _env_on("BENCH_P4"):
+        # the BASELINE.md target point (p=4 3D PA): f32, mass/bounds
+        # verified (the f32-vs-f64 state cross-check runs on the p=3 leg;
+        # a second full f64 compile would double the bench budget)
+        legs.append(("p4", dict(BENCH_DTYPE="float32", BENCH_P="4",
+                                BENCH_PHASES="0", BENCH_CROSSCHECK="0")))
+    legs.append(("float64", dict(BENCH_DTYPE="float64", BENCH_PHASES="0",
+                                 BENCH_STEPS=os.environ.get(
+                                     "BENCH_STEPS_F64", "2"))))
+    for tag, overrides in legs:
         env = dict(os.environ)
-        env["BENCH_DTYPE"] = dtype
+        env["BENCH_DTYPE"] = "float32" if tag == "float32" else \
+            overrides.get("BENCH_DTYPE", "float64")
         env["BENCH_DUAL"] = "0"
-        if dtype == "float64":
-            env["BENCH_PHASES"] = "0"       # phase FOMs: f32 hot path only
-            env["BENCH_STEPS"] = os.environ.get("BENCH_STEPS_F64", "2")
+        env.update(overrides)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True)
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                vals[dtype] = json.loads(line)
+                vals[tag] = json.loads(line)
         err = out.stderr.strip().splitlines()
-        print(err[-1] if err else f"({dtype}: no output)", file=sys.stderr)
+        print(err[-1] if err else f"({tag}: no output)", file=sys.stderr)
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
-            sys.exit(1)
-        if dtype == "float32" and "float32" in vals:
+            if tag == "float32":
+                sys.exit(1)     # p4/f64 legs are additive; keep the record
+        if tag == "float32" and "float32" in vals:
             print(json.dumps(vals["float32"]), flush=True)
     f32 = vals.get("float32", {})
     f64 = vals.get("float64", {})
     result = dict(f32)
+    p4 = vals.get("p4")
+    if p4:
+        result["p4_value"] = p4.get("value", 0.0)
+        result["p4_ndofs"] = p4.get("ndofs", 0)
+        result["p4_mass_rel_loss"] = p4.get("mass_rel_loss", None)
+        result["p4_hbm_util"] = p4.get("hbm_util", None)
     result["f64_value"] = f64.get("value", 0.0)
     result["f64_vs_baseline"] = f64.get("vs_baseline", 0.0)
     result["f64_mass_rel_loss"] = f64.get("mass_rel_loss", None)

@@ -160,8 +160,7 @@ def run(cfg: RunConfig) -> RunResult:
 
     # --- initial masses (remhos.cpp:1072-1081) ---
     # (jitted: eager geometry picks pathological padded layouts on TPU)
-    masses = jax.jit(lambda t: adv.geometry(t)["ml"])(
-        jnp.asarray(0.0, S.dtype))
+    masses = jax.jit(adv.lumped_mass)(jnp.asarray(0.0, S.dtype))
     mass0_u = float((masses * S[0]).sum())
     mass0_us = float((masses * S[1]).sum()) if cfg.product_sync else 0.0
 
@@ -230,6 +229,15 @@ def run(cfg: RunConfig) -> RunResult:
         u_out = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]
         vism.visit_save(cfg.visit_prefix, mesh, x0_nodes, u_out, cfg.order,
                         0.0, 0)
+    if cfg.vis:
+        # pre-loop initial frame(s): u, and for -ps also s and u_s in the
+        # reference's three-window layout (remhos.cpp:1045-1070)
+        from . import vis as vism
+        u_out = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]
+        us_out = None
+        if cfg.product_sync:
+            us_out = S[1] if shard_grid is None else S[1][jnp.asarray(inv_perm)]
+        vism.stream_fields(cfg, mesh, x0_nodes, u_out, us_out)
     steady = cfg.problem in (6, 7, 8)
     res_prev = S[0]
     residual = 0.0
@@ -313,12 +321,16 @@ def run(cfg: RunConfig) -> RunResult:
             vism.visit_save(cfg.visit_prefix, mesh, x_now, u_out, cfg.order,
                             t, ti)
         if cfg.vis and (done or ti % cfg.vis_steps == 0):
+            # in-loop refresh; product runs recompute s = us/u and stream
+            # all three windows (remhos.cpp:1307-1321)
             from . import vis as vism
             u_rep = S[0] if shard_grid is None else S[0][jnp.asarray(inv_perm)]
+            us_rep = None
+            if cfg.product_sync:
+                us_rep = (S[1] if shard_grid is None
+                          else S[1][jnp.asarray(inv_perm)])
             x_now = (x0_nodes + t * v_nodes) if exec_mode == 1 else x0_nodes
-            vism.glvis_stream(mesh, x_now, u_rep, cfg.order,
-                              host=cfg.vis_host, port=cfg.vis_port,
-                              title="Solution u")
+            vism.stream_fields(cfg, mesh, x_now, u_rep, us_rep)
     if prof is not None:
         prof.__exit__(None, None, None)
         if cfg.verbose:
@@ -331,8 +343,7 @@ def run(cfg: RunConfig) -> RunResult:
 
     # --- final mass / max (remhos.cpp:1382-1436) ---
     if exec_mode == 1:
-        ml_final = jax.jit(lambda tt: adv.geometry(tt)["ml"])(
-            jnp.asarray(t, S.dtype))
+        ml_final = jax.jit(adv.lumped_mass)(jnp.asarray(t, S.dtype))
     else:
         ml_final = masses
     mass_u = float((ml_final * S[0]).sum())

@@ -250,10 +250,14 @@ class Advection:
         else:
             x_fq, nor = geo.face_geometry(x, self.Bmf, self.Gmf, self.n_ref)
         if cfg.exec_mode == 0:
+            # bb_min/bb_max are numpy f64 — cast back so an f32 operator
+            # stays f32 (numpy operands are not weak-typed)
             v_q = prob.velocity_function(cfg.problem, vol["x_q"],
-                                         self.bb_min, self.bb_max)
+                                         self.bb_min, self.bb_max
+                                         ).astype(vol["x_q"].dtype)
             v_fq = prob.velocity_function(cfg.problem, x_fq,
-                                          self.bb_min, self.bb_max)
+                                          self.bb_min, self.bb_max
+                                          ).astype(x_fq.dtype)
             sign = -1.0
         else:
             v_q = self._v_q_static
@@ -350,6 +354,13 @@ class Advection:
                 active_el=active_el)
         return bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
                                   self.cfg.bounds_type, active_el=active_el)
+
+    def lumped_mass(self, t):
+        """ml at time t (driver mass reports); works on both the fused-
+        stage minimal geom and the full geom dicts."""
+        geom = self.geometry(t)
+        self._ensure_stage_geom(geom)
+        return geom["ml"]
 
     def all_min(self, x):
         """Global min hook (identity on one shard; pmin when sharded)."""

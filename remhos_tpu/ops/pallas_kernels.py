@@ -459,7 +459,10 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
         # floor (per-element live masking freezes converged elements)
         n_cg = 3 if dtype == jnp.float32 else 8
     if block_e is None:
-        block_e = 512 if dtype == jnp.float32 else 256
+        # ~20 live [be, Q] scratch arrays; keep them within ~12 MB of the
+        # 16 MB scoped VMEM (be=512 for p=3/Q=216 f32, smaller for p=4)
+        budget = 150_000 if dtype == jnp.float32 else 75_000
+        block_e = max(64, min(512, budget // Q))
     xs_t = jnp.transpose(xs, (2, 0, 1)).astype(dtype)     # [dim, E, nm]
     v_t = jnp.transpose(v, (2, 0, 1)).astype(dtype)
     be = _pick_block(E, block_e)

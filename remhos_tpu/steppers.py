@@ -186,7 +186,9 @@ def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
     tab = IDP_TABLEAUS[kind]
     s = tab["s"]
     c = list(tab["c"])
-    d = construct_d(tab["a"], tab["b"], tab["c"], s)
+    # python floats (weak-typed): np.float64 scalars would silently
+    # promote an f32 state to f64 in the recombination
+    d = [float(v) for v in construct_d(tab["a"], tab["b"], tab["c"], s)]
 
     def step(u, t, dt):
         cache = {}

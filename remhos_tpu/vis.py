@@ -142,9 +142,12 @@ def visit_save(prefix, mesh, x_nodes, u, p: int, t: float, cycle: int,
 
 
 def glvis_stream(mesh, x_nodes, u, p: int, host="localhost", port=19916,
-                 title="u", keys=None, timeout=0.5) -> bool:
+                 title="u", keys=None, timeout=0.5, geometry=None) -> bool:
     """Send one solution frame to a GLVis server; True on success.
 
+    geometry: optional (Wx, Wy, Ww, Wh) window placement — the reference's
+    three-window product layout (remhos.cpp:1058-1069, VisualizeField
+    remhos_tools.cpp:1507-1515).
     No server listening is not an error (the reference warns once and
     disables visualization, remhos_tools.cpp:1520-1534)."""
     payload = ("solution\n" + mfem_mesh_text(mesh, x_nodes)
@@ -152,9 +155,30 @@ def glvis_stream(mesh, x_nodes, u, p: int, host="localhost", port=19916,
     if keys:
         payload += f"keys {keys}\n"
     payload += f"window_title '{title}'\n"
+    if geometry is not None:
+        payload += "window_geometry %d %d %d %d\n" % tuple(geometry)
     try:
         with socket.create_connection((host, port), timeout=timeout) as s:
             s.sendall(payload.encode())
         return True
     except OSError:
         return False
+
+
+def stream_fields(cfg, mesh, x_now, u, us=None):
+    """Stream the reference's window set (remhos.cpp:1045-1070 initial,
+    1307-1321 in-loop): "Solution u" at (0,0), and for product runs
+    "Solution s" (ComputeRatio'd us/u) and "Solution u_s" side by side."""
+    Ww = Wh = 400
+    glvis_stream(mesh, x_now, u, cfg.order, host=cfg.vis_host,
+                 port=cfg.vis_port, title="Solution u",
+                 geometry=(0, 0, Ww, Wh))
+    if us is not None:
+        from . import sync as syncm
+        s, _, _ = syncm.compute_ratio(us, u)
+        glvis_stream(mesh, x_now, s, cfg.order, host=cfg.vis_host,
+                     port=cfg.vis_port, title="Solution s",
+                     geometry=(Ww, 0, Ww, Wh))
+        glvis_stream(mesh, x_now, us, cfg.order, host=cfg.vis_host,
+                     port=cfg.vis_port, title="Solution u_s",
+                     geometry=(2 * Ww, 0, Ww, Wh))

@@ -98,6 +98,59 @@ def test_glvis_stream_protocol():
     assert vism.glvis_stream(mesh, mesh.x, u, 3, port=1) is False
 
 
+def test_glvis_product_windows():
+    """A -ps -vis run streams THREE windows — "Solution u", "Solution s"
+    (ComputeRatio'd), "Solution u_s" — in the reference's side-by-side
+    layout, plus the pre-loop initial frame (remhos.cpp:1045-1070,
+    1307-1321)."""
+    received = []
+    srv = socket.socket()
+    srv.bind(("localhost", 0))
+    srv.listen(16)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def accept_loop():
+        srv.settimeout(0.5)
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            chunks = []
+            while True:
+                b = conn.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+            received.append(b"".join(chunks).decode())
+            conn.close()
+
+    th = threading.Thread(target=accept_loop)
+    th.start()
+    try:
+        run(RunConfig(mesh="inline-quad", problem=14, rs_levels=1, order=2,
+                      dt=0.005, t_final=0.75, max_tsteps=2, ho=3, lo=5,
+                      fct=2, product_sync=True, ode_solver=1, vis=True,
+                      vis_port=port, vis_steps=1, verbose=False))
+    finally:
+        stop.set()
+        th.join(timeout=5)
+        srv.close()
+    titles = [line for f in received for line in f.splitlines()
+              if line.startswith("window_title")]
+    by_title = {}
+    for t in titles:
+        by_title[t] = by_title.get(t, 0) + 1
+    assert by_title.get("window_title 'Solution u'", 0) >= 3    # init + 2
+    assert by_title.get("window_title 'Solution s'", 0) >= 3
+    assert by_title.get("window_title 'Solution u_s'", 0) >= 3
+    # three-window layout: distinct window_geometry x-offsets
+    geoms = {line.split()[1] for f in received for line in f.splitlines()
+             if line.startswith("window_geometry")}
+    assert geoms == {"0", "400", "800"}
+
+
 def test_visit_datacollection(tmp_path, monkeypatch):
     """-visit writes VisItDataCollection layout (remhos.cpp:1036-1043):
     root JSON + per-cycle directory with MFEM mesh/field files."""
