@@ -344,7 +344,12 @@ def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
         out_ref[:] = Ku
         return
 
-    # --- GL mass-inverse CG, Krylov state in VMEM (pa.mass_solve_gl) ---
+    # --- GL mass inverse by Jacobi iteration, all state in VMEM ---
+    # The Jacobi-scaled GL mass matrix has kappa ~ 1.005, i.e. spectral
+    # radius of (I - D^-1 M) ~ 2.5e-3: each sweep multiplies the error by
+    # that factor, so 3 sweeps reach the f32 floor and 8 the f64 floor —
+    # same convergence regime as MFEM's DGMassInverse local CG
+    # (remhos_ho.cpp:79-80) with no dot-product reductions at all.
     b = dot(Ku, A_ref[:])
     diag = dot(wdet, Bgl2_ref[:])
     inv_diag = 1.0 / diag
@@ -354,31 +359,9 @@ def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
     def amul(g):
         return dot(dot(g, BglT) * wdet, Bgl)
 
-    x = jnp.zeros_like(b)
-    r = b
-    z = inv_diag * r
-    p = z
-    rz = (r * z).sum(axis=1, keepdims=True)
-    rr = (r * r).sum(axis=1, keepdims=True)
-    tol2 = rel_tol2 * rr
-
-    def body(i, c):
-        x, r, z, p, rz, rr = c
-        live = rr > tol2
-        Ap = amul(p)
-        pAp = (p * Ap).sum(axis=1, keepdims=True)
-        alpha = jnp.where(live, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        z = inv_diag * r
-        rz_new = (r * z).sum(axis=1, keepdims=True)
-        beta = jnp.where(live, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = jnp.where(live, z + beta * p, p)
-        rz = jnp.where(live, rz_new, rz)
-        rr = jnp.where(live, (r * r).sum(axis=1, keepdims=True), rr)
-        return x, r, z, p, rz, rr
-
-    x, *_ = jax.lax.fori_loop(0, n_cg, body, (x, r, z, p, rz, rr))
+    x = inv_diag * b
+    for _ in range(n_cg):
+        x = x + inv_diag * (b - amul(x))
     out_ref[:] = dot(x, AT_ref[:])
 
 

@@ -278,6 +278,10 @@ def make_sharded_step(mesh: StructuredMesh, scfg: SolverConfig, order: int,
     """
     if isinstance(shard_grid, int):
         shard_grid = (shard_grid,)
+    if scfg.mono != 0 or scfg.smth_ind:
+        raise NotImplementedError(
+            "monolithic/smoothness-indicator solvers run single-shard "
+            "(serial in the reference too, remhos_mono.cpp:285)")
     if dcn:
         # keep exactly prod(shard_grid) devices after slice-major ordering —
         # the Mesh reshape below requires the exact count
