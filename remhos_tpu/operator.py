@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from . import assembly as asm
@@ -162,14 +163,23 @@ class Advection:
         if self._fused_stage:
             from .ops import pallas_kernels as pk
             self._stage_tables = pk.stage_ho_tables(disc, dtype)
+            # polynomial stage geometry: J(t) = J0 + t*Jv in remap, so
+            # va/wdet/vn are low-degree polynomials in t whose coefficient
+            # tables are built once (jitted; eager TPU layouts are
+            # pathological) — the per-stage geometry compute disappears
+            self._poly = jax.jit(
+                lambda x0, v: pk.build_poly_tables(x0, v, disc))(
+                    self.x0_nodes, self.v_nodes)
 
-    def _stage_ho_fused(self, geom, u):
+    def _stage_ho_fused(self, geom, u, n_cg=None):
         """Run the fused HO stage kernel; populate geom's wdet/detJ/ml on
         first use (one kernel per field, same stage geometry)."""
         from .ops import pallas_kernels as pk
         u_nbr = self.gather_nbr(u).reshape(u.shape[0], -1)
-        du, wdet = pk.fused_stage_ho(geom["xs"], self.v_nodes, u, u_nbr,
-                                     self._stage_tables, mode=1.0)
+        du, wdet = pk.fused_stage_ho_poly(geom["t"], u, u_nbr, self._poly,
+                                          self._stage_tables,
+                                          dim=self.disc.dim, mode=1.0,
+                                          n_cg=n_cg)
         if "wdet" not in geom:
             geom["wdet"] = wdet
             geom["detJ"] = wdet / self.w_q[None, :]
@@ -211,9 +221,10 @@ class Advection:
             x = self.x0_nodes
 
         if self._fused_stage:
-            # everything stage-dependent happens inside fused_stage_ho;
-            # wdet/detJ/ml are populated as kernel by-products
-            return dict(xs=x, sub_w=sub_w)
+            # everything stage-dependent happens inside the fused stage
+            # kernel (polynomial geometry keyed on t); wdet/detJ/ml are
+            # populated as kernel by-products
+            return dict(t=t, xs=x, sub_w=sub_w)
 
         if cfg.pa and cfg.exec_mode == 1:
             # remap PA hot path (the reference's RHS-FOM bottleneck,

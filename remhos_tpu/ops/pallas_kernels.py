@@ -263,32 +263,40 @@ def fused_gl_cg(rhs, wdet, disc, rel_tol=None, n_iter=16, block_e=256,
 
 
 def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
-                     Gmb_ref, BmT_ref, GuT_ref, Buw_ref, wq_ref,
-                     BmfT_ref, GT1_ref, GT2_ref, BD_ref, BDown_ref, SB_ref,
+                     XT_ref, VT_ref, UT_ref, Buw_ref, wq_ref,
+                     BD_ref, SB_ref,
                      A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
-                     out_ref, wdet_ref, *, dim, sign, mode, n_cg, rel_tol2,
-                     with_face=True, geom_prec=None):
+                     out_ref, wdet_ref, *, dim, sign, mode, n_cg, seg,
+                     with_face=True):
+    """All cross-dof contractions are consolidated into a handful of FAT
+    dots whose RHS tables concatenate 128-aligned zero-padded segments
+    (profiling showed per-dot-instruction overhead, not MXU passes,
+    dominated the many-small-dots formulation). Zero padding keeps every
+    padded lane exactly 0 through the whole pipeline (0*0 products), so
+    no masking is needed; wdet is emitted padded and sliced by the
+    caller."""
     dtype = u_ref.dtype
     HI = jax.lax.Precision.HIGHEST
-    GP = HI if geom_prec is None else geom_prec
+    S = seg
 
-    def dot(a, b, prec=HI):
-        return jnp.dot(a, b, preferred_element_type=dtype, precision=prec)
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
 
-    # --- volume geometry: J columns, all [TE, Q] ---
-    Jtab = [[dot(xs_ref[d], Gmb_ref[b], GP) for b in range(dim)]
-            for d in range(dim)]
+    def sg(M, k):
+        return M[:, k * S:(k + 1) * S]
+
+    # X[d] segments: [J_col_b for b<dim] + [T1, T2 (3D)] — one dot per d
+    X = [dot(xs_ref[d], XT_ref[:]) for d in range(dim)]
+    # V[d] segments: [v_q, v_fq]
+    V = [dot(v_ref[d], VT_ref[:]) for d in range(dim)]
+    # U segments: [grad_b u for b<dim] + [u at face qpts]
+    u = u_ref[:]
+    U = dot(u, UT_ref[:])
 
     def Jdb(d, b):
-        return Jtab[d][b]
+        return sg(X[d], b)
 
     # --- volume convection: du_q = sum_b (cof[:,b].v) (d_b u)_q ---
-    # cofactor columns are formed one b at a time (only 3 transient
-    # [TE, Q] arrays live beyond Jtab/v_q — halves the VMEM peak vs
-    # materializing the full cofactor table, enabling larger blocks)
-    BmT = BmT_ref[:]
-    v_q = [dot(v_ref[d], BmT, GP) for d in range(dim)]
-    u = u_ref[:]
     du_q = None
     det = None
     for b in range(dim):
@@ -302,15 +310,14 @@ def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
         else:
             cof_b = [-Jdb(1, 0), Jdb(0, 0)]
         dd = Jdb(0, b) * cof_b[0]
-        det = dd if b == 0 else det        # det = first cofactor expansion
+        det = dd if b == 0 else det        # row-0 cofactor expansion
         if dim == 3 and b > 0:
-            # complete the row-0 expansion: det = sum_b J[0,b]*C[0,b]
             det = det + dd
-        va_b = cof_b[0] * v_q[0]
+        va_b = cof_b[0] * sg(V[0], 0)
         for d in range(1, dim):
-            va_b = va_b + cof_b[d] * v_q[d]
-        g_b = dot(u, GuT_ref[b])
-        du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
+            va_b = va_b + cof_b[d] * sg(V[d], 0)
+        du_q = (va_b * sg(U, b) if du_q is None
+                else du_q + va_b * sg(U, b))
     if dim == 2:
         det = Jdb(0, 0) * Jdb(1, 1) - Jdb(0, 1) * Jdb(1, 0)
     Ku = dot(sign * du_q, Buw_ref[:])
@@ -319,25 +326,22 @@ def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
 
     # --- DG face pipeline: tangent normals -> upwind flux -> scatter ---
     # (face_normals_tangent + pa.face_full_apply + asm.scatter_face_add,
-    # with the reference-normal sign folded into GT1 and w_fq into SB)
+    # reference-normal sign folded into the T1 table, w_fq into SB)
     if with_face:
         if dim == 3:
-            T1 = [dot(xs_ref[d], GT1_ref[:]) for d in range(3)]
-            T2 = [dot(xs_ref[d], GT2_ref[:]) for d in range(3)]
+            T1 = [sg(X[d], 3) for d in range(3)]
+            T2 = [sg(X[d], 4) for d in range(3)]
             nor = (T1[1] * T2[2] - T1[2] * T2[1],
                    T1[2] * T2[0] - T1[0] * T2[2],
                    T1[0] * T2[1] - T1[1] * T2[0])
         else:
-            t0 = dot(xs_ref[0], GT1_ref[:])
-            t1 = dot(xs_ref[1], GT1_ref[:])
-            nor = (t1, -t0)
-        BmfT = BmfT_ref[:]
+            nor = (sg(X[1], 2), -sg(X[0], 2))
         vn = None
         for d in range(dim):
-            vfd = dot(v_ref[d], BmfT)
+            vfd = sg(V[d], 1)
             vn = vfd * nor[d] if vn is None else vn + vfd * nor[d]
-        up = jnp.maximum(0.0, mode * vn)                  # [TE, FQ]
-        diff_q = dot(unbr_ref[:], BD_ref[:]) - dot(u, BDown_ref[:])
+        up = jnp.maximum(0.0, mode * vn)                  # [TE, S]
+        diff_q = dot(unbr_ref[:], BD_ref[:]) - sg(U, dim)
         Ku = Ku + dot(up * diff_q, SB_ref[:])
 
     if n_cg == 0:
@@ -352,6 +356,9 @@ def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
     # (remhos_ho.cpp:79-80) with no dot-product reductions at all.
     b = dot(Ku, A_ref[:])
     diag = dot(wdet, Bgl2_ref[:])
+    # padded lanes of wdet are exactly 0 -> diag is exact; guard the
+    # reciprocal only against them never being used (they aren't: Bgl2's
+    # padded rows are 0)
     inv_diag = 1.0 / diag
     BglT = BglT_ref[:]
     Bgl = Bgl_ref[:]
@@ -366,7 +373,11 @@ def _stage_ho_kernel(xs_ref, v_ref, u_ref, unbr_ref,
 
 
 def stage_ho_tables(disc, dtype):
-    """Static tables for fused_stage_ho (built once per Advection)."""
+    """Static tables for fused_stage_ho (built once per Advection).
+
+    All quad-point-indexed tables are zero-padded to a shared 128-aligned
+    segment size S = align(max(Q, FQ)) and concatenated so the kernel
+    issues ONE dot per operand source (see _stage_ho_kernel)."""
     from .. import geometry as geo
     dim = disc.dim
     nd, fd = disc.nd, disc.fd
@@ -375,8 +386,22 @@ def stage_ho_tables(disc, dtype):
     nf = disc.n_ref.shape[0]
     FQ = nf * Qf
     nm = disc.Bm.shape[1]
+    Q = len(disc.w_q)
+    S = ((max(Q, FQ) + 127) // 128) * 128
     w_fq = np.asarray(disc.w_fq)
     bdr = np.asarray(disc.dofmaps.bdr_dofs)               # [nf, fd]
+
+    def padc(a):
+        """pad columns to S."""
+        out = np.zeros(a.shape[:-1] + (S,))
+        out[..., :a.shape[-1]] = a
+        return out
+
+    def padr(a):
+        """pad rows to S."""
+        out = np.zeros((S,) + a.shape[1:])
+        out[:a.shape[0]] = a
+        return out
 
     ft = geo.face_tangent_tables(disc.Gmf, disc.n_ref)
     assert ft is not None, "fused stage requires axis-aligned ref normals"
@@ -384,12 +409,12 @@ def stage_ho_tables(disc, dtype):
     Gt0 = Gt[..., 0] * sg[:, None, None]                  # sign folded
     GT1 = Gt0.transpose(2, 0, 1).reshape(nm, FQ)
     GT2 = (Gt[..., 1].transpose(2, 0, 1).reshape(nm, FQ)
-           if dim == 3 else np.zeros((nm, FQ)))
+           if dim == 3 else None)
 
     Gm = np.asarray(disc.Gm, np.float64)
-    Gmb = np.stack([Gm[:, :, b].T for b in range(dim)])   # [dim, nm, Q]
+    Gmb = [Gm[:, :, b].T for b in range(dim)]             # [nm, Q] each
     BmT = np.asarray(disc.Bm).T                           # [nm, Q]
-    GuT = np.stack([np.asarray(disc.Gu)[:, :, b].T for b in range(dim)])
+    GuT = [np.asarray(disc.Gu)[:, :, b].T for b in range(dim)]
     Buw = np.asarray(disc.Bu) * np.asarray(disc.w_q)[:, None]   # [Q, nd]
     wq = np.asarray(disc.w_q)[None, :]
     Bmf = np.asarray(disc.Bmf)                            # [nf, Qf, nm]
@@ -405,13 +430,24 @@ def stage_ho_tables(disc, dtype):
             BDown[d, f * Qf:(f + 1) * Qf] += Bface[:, j]
             SB[f * Qf:(f + 1) * Qf, d] += w_fq * Bface[:, j]
 
+    # consolidated, segment-padded tables
+    xsegs = [padc(g) for g in Gmb] + [padc(GT1)]
+    if dim == 3:
+        xsegs.append(padc(GT2))
+    XT = np.concatenate(xsegs, axis=1)                    # [nm, (dim+t)*S]
+    VT = np.concatenate([padc(BmT), padc(BmfT)], axis=1)  # [nm, 2S]
+    UT = np.concatenate([padc(g) for g in GuT] + [padc(BDown)],
+                        axis=1)                           # [nd, (dim+1)*S]
+
     J = lambda a: jnp.asarray(a, dtype)
-    return dict(Gmb=J(Gmb), BmT=J(BmT), GuT=J(GuT), Buw=J(Buw), wq=J(wq),
-                BmfT=J(BmfT), GT1=J(GT1), GT2=J(GT2), BD=J(BD),
-                BDown=J(BDown), SB=J(SB),
+    return dict(XT=J(XT), VT=J(VT), UT=J(UT),
+                Buw=J(padr(Buw)), wq=J(padc(wq)),
+                BD=J(padc(BD)), SB=J(padr(SB)),
                 A=J(disc.A_gl2b), AT=J(np.asarray(disc.A_gl2b).T),
-                BglT=J(np.asarray(disc.Bgl).T), Bgl=J(disc.Bgl),
-                Bgl2=J(np.asarray(disc.Bgl) * np.asarray(disc.Bgl)))
+                BglT=J(padc(np.asarray(disc.Bgl).T)),
+                Bgl=J(padr(disc.Bgl)),
+                Bgl2=J(padr(np.asarray(disc.Bgl) * np.asarray(disc.Bgl))),
+                seg=S, Q=Q)
 
 
 def _pick_block(E, target):
@@ -423,7 +459,7 @@ def _pick_block(E, target):
 
 def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
                    rel_tol=None, block_e=None, interpret=None,
-                   with_face=True, geom_prec=None):
+                   with_face=True):
     """(du_HO[E,nd], wdet[E,Q]) — the full -ho 3 PA stage solve fused.
 
     mode: +1 remap upwind (-max(0,vn) flux sign), -1 transport (min(0,vn));
@@ -433,28 +469,25 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
     E, nm, dim = xs.shape
     nd = u.shape[1]
     dtype = u.dtype
-    Q = tables["Buw"].shape[0]
-    if rel_tol is None:
-        rel_tol = 1e-6 if dtype == jnp.float32 else 1e-12
+    S = tables["seg"]
+    Q = tables["Q"]
     if n_cg is None:
-        # kappa(Jacobi-scaled M_GL) ~ 1.005 -> the CG residual shrinks
-        # ~1e-3/iteration; 3 iterations reach the f32 floor, 8 the f64
-        # floor (per-element live masking freezes converged elements)
+        # Jacobi contraction ~2.5e-3/sweep (see kernel): 3 sweeps reach
+        # the f32 floor, 8 the f64 floor
         n_cg = 3 if dtype == jnp.float32 else 8
     if block_e is None:
-        # ~20 live [be, Q] scratch arrays; keep them within ~12 MB of the
-        # 16 MB scoped VMEM (be=512 for p=3/Q=216 f32, smaller for p=4)
-        budget = 150_000 if dtype == jnp.float32 else 75_000
-        block_e = max(64, min(512, budget // Q))
+        # ~16 live [be, S] scratch arrays; keep them within ~12 MB of the
+        # 16 MB scoped VMEM (be=512 for p=3/S=256 f32, smaller for p=4)
+        budget = 180_000 if dtype == jnp.float32 else 90_000
+        block_e = max(64, min(512, budget // S))
     xs_t = jnp.transpose(xs, (2, 0, 1)).astype(dtype)     # [dim, E, nm]
     v_t = jnp.transpose(v, (2, 0, 1)).astype(dtype)
     be = _pick_block(E, block_e)
     kern = functools.partial(_stage_ho_kernel, dim=dim, sign=float(mode),
-                             mode=float(mode), n_cg=n_cg,
-                             rel_tol2=rel_tol * rel_tol,
-                             with_face=with_face, geom_prec=geom_prec)
+                             mode=float(mode), n_cg=n_cg, seg=S,
+                             with_face=with_face)
     t = tables
-    return pl.pallas_call(
+    du, wdet_p = pl.pallas_call(
         kern,
         grid=(E // be,),
         in_specs=[
@@ -466,30 +499,280 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((be, u_nbr_flat.shape[1]), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            _rep(t["Gmb"].shape), _rep(t["BmT"].shape), _rep(t["GuT"].shape),
-            _rep(t["Buw"].shape), _rep(t["wq"].shape), _rep(t["BmfT"].shape),
-            _rep(t["GT1"].shape), _rep(t["GT2"].shape), _rep(t["BD"].shape),
-            _rep(t["BDown"].shape), _rep(t["SB"].shape),
+            _rep(t["XT"].shape), _rep(t["VT"].shape), _rep(t["UT"].shape),
+            _rep(t["Buw"].shape), _rep(t["wq"].shape),
+            _rep(t["BD"].shape), _rep(t["SB"].shape),
             _rep(t["A"].shape), _rep(t["AT"].shape), _rep(t["BglT"].shape),
             _rep(t["Bgl"].shape), _rep(t["Bgl2"].shape),
         ],
         out_specs=(
             pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((be, Q), lambda i: (i, i * 0),
+            pl.BlockSpec((be, S), lambda i: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(jax.ShapeDtypeStruct((E, nd), dtype),
-                   jax.ShapeDtypeStruct((E, Q), dtype)),
+                   jax.ShapeDtypeStruct((E, S), dtype)),
         interpret=_auto_interpret(interpret),
-    )(xs_t, v_t, u, u_nbr_flat, t["Gmb"], t["BmT"], t["GuT"], t["Buw"],
-      t["wq"], t["BmfT"], t["GT1"], t["GT2"], t["BD"], t["BDown"], t["SB"],
+    )(xs_t, v_t, u, u_nbr_flat, t["XT"], t["VT"], t["UT"], t["Buw"],
+      t["wq"], t["BD"], t["SB"],
       t["A"], t["AT"], t["BglT"], t["Bgl"], t["Bgl2"])
+    # padded lanes are exact zeros; the XLA slice fuses into consumers
+    return du, wdet_p[:, :Q]
 
 
 # ---------------------------------------------------------------------------
-# geometry-only wdet (J -> detJ -> w*detJ without materializing J to HBM)
+# stage-time polynomial geometry (remap): J(t) is AFFINE in t
 # ---------------------------------------------------------------------------
+#
+# In remap mode the mesh moves as x(t) = x0 + t*v with a STATIC velocity
+# (remhos.cpp:1598-1608), so the Jacobian J(t) = J0 + t*Jv is affine in
+# the stage time. Everything the stage kernel needs from geometry is a
+# low-degree polynomial in t:
+#
+#   va_b  = cof(J)^T v |_b      quadratic (3D) / affine (2D)
+#   w*det(J)                    cubic (3D) / quadratic (2D)
+#   vn    = v_f . nor(J_f)      quadratic (3D) / affine (2D)
+#
+# The coefficient tables are built ONCE per run (device arrays, ~230 MB
+# at the bench size) and the per-stage geometry becomes a handful of
+# reads + FMAs instead of the J/cofactor/tangent compute that dominated
+# the stage (the reference reassembles all of this every stage — this is
+# remap structure the TPU formulation can exploit and a CPU/GPU
+# reassembly pass cannot cheaply).
+
+
+def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, VA_ref, WD_ref, VN_ref,
+                          UT_ref, Buw_ref, BD_ref, SB_ref,
+                          A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
+                          out_ref, wdet_ref, *, dim, mode, n_cg, seg,
+                          nkv, nkd, nkn):
+    """Stage solve with polynomial geometry: no J/cofactor/tangent compute
+    — geometry enters as t-polynomial coefficient reads (see
+    build_poly_tables). Same outputs as _stage_ho_kernel."""
+    dtype = u_ref.dtype
+    HI = jax.lax.Precision.HIGHEST
+    S = seg
+    t = t_ref[0, 0]
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
+
+    def sg(M, k):
+        return M[:, k * S:(k + 1) * S]
+
+    def horner(M, ks):
+        acc = sg(M, ks[-1])
+        for k in reversed(ks[:-1]):
+            acc = sg(M, k) + t * acc
+        return acc
+
+    u = u_ref[:]
+    U = dot(u, UT_ref[:])
+    VA = VA_ref[:]
+    du_q = None
+    for b in range(dim):
+        va_b = horner(VA, [k * dim + b for k in range(nkv)])
+        g_b = sg(U, b)
+        du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
+    Ku = dot(mode * du_q, Buw_ref[:])
+    wdet_ref[:] = horner(WD_ref[:], list(range(nkd)))
+
+    vn = horner(VN_ref[:], list(range(nkn)))
+    up = jnp.maximum(0.0, mode * vn)
+    diff_q = dot(unbr_ref[:], BD_ref[:]) - sg(U, dim)
+    Ku = Ku + dot(up * diff_q, SB_ref[:])
+
+    if n_cg == 0:
+        out_ref[:] = Ku
+        return
+
+    wdet = wdet_ref[:]
+    b_ = dot(Ku, A_ref[:])
+    diag = dot(wdet, Bgl2_ref[:])
+    inv_diag = 1.0 / diag
+    BglT = BglT_ref[:]
+    Bgl = Bgl_ref[:]
+
+    def amul(g):
+        return dot(dot(g, BglT) * wdet, Bgl)
+
+    x = inv_diag * b_
+    for _ in range(n_cg):
+        x = x + inv_diag * (b_ - amul(x))
+    out_ref[:] = dot(x, AT_ref[:])
+
+
+def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
+                        n_cg=None, block_e=None, interpret=None):
+    """(du_HO[E,nd], wdet[E,Q]) via polynomial stage geometry (remap)."""
+    E, nd = u.shape
+    dtype = u.dtype
+    S = tables["seg"]
+    Q = tables["Q"]
+    if n_cg is None:
+        n_cg = 3 if dtype == jnp.float32 else 8
+    if block_e is None:
+        budget = 180_000 if dtype == jnp.float32 else 90_000
+        block_e = max(64, min(512, budget // S))
+    be = _pick_block(E, block_e)
+    t_arr = jnp.full((1, 1), t, dtype)
+    kern = functools.partial(_stage_ho_poly_kernel, dim=dim,
+                             mode=float(mode), n_cg=n_cg, seg=S,
+                             nkv=dim, nkd=dim + 1, nkn=dim)
+    tb = tables
+
+    def blk(a):
+        return pl.BlockSpec((be, a.shape[1]), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    du, wdet_p = pl.pallas_call(
+        kern,
+        grid=(E // be,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            blk(u), blk(u_nbr_flat),
+            blk(poly["VA"]), blk(poly["WDET"]), blk(poly["VN"]),
+            _rep(tb["UT"].shape), _rep(tb["Buw"].shape),
+            _rep(tb["BD"].shape), _rep(tb["SB"].shape),
+            _rep(tb["A"].shape), _rep(tb["AT"].shape),
+            _rep(tb["BglT"].shape), _rep(tb["Bgl"].shape),
+            _rep(tb["Bgl2"].shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((be, nd), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((be, S), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((E, nd), dtype),
+                   jax.ShapeDtypeStruct((E, S), dtype)),
+        interpret=_auto_interpret(interpret),
+    )(t_arr, u, u_nbr_flat, poly["VA"], poly["WDET"], poly["VN"],
+      tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
+      tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"])
+    return du, wdet_p[:, :Q]
+
+
+def build_poly_tables(x0, v, disc, dtype=None):
+    """Device coefficient tables for the polynomial stage geometry.
+
+    Returns dict(VA=[E, nkv*dim*S], WDET=[E, nkd*S], VN=[E, nkn*S]) with
+    128-aligned zero-padded segments (segment (k, b) of VA holds the
+    t^k coefficient of va_b at the volume rule; WDET has w_q and the
+    quadrature-weight padding folded in; VN holds vn t^k coefficients at
+    the face rule). Call under jit (eager TPU layouts are pathological)."""
+    from .. import geometry as geo
+    dim = disc.dim
+    if dtype is None:
+        dtype = jnp.asarray(x0).dtype
+    x0 = jnp.asarray(x0, dtype)
+    v = jnp.asarray(v, dtype)
+    E = x0.shape[0]
+    Gm = np.asarray(disc.Gm, np.float64)
+    Q = Gm.shape[0]
+    nm = Gm.shape[1]
+    Bface = np.asarray(disc.Bface)
+    nf = disc.n_ref.shape[0]
+    Qf = Bface.shape[0]
+    FQ = nf * Qf
+    S = ((max(Q, FQ) + 127) // 128) * 128
+    HI = jax.lax.Precision.HIGHEST
+
+    def dot(a, b):
+        return jnp.dot(a, b, precision=HI)
+
+    x0_t = jnp.transpose(x0, (2, 0, 1))                    # [dim, E, nm]
+    v_t = jnp.transpose(v, (2, 0, 1))
+    Gmb = [jnp.asarray(Gm[:, :, b].T, dtype) for b in range(dim)]
+    J0 = [[dot(x0_t[d], Gmb[b]) for b in range(dim)] for d in range(dim)]
+    Jv = [[dot(v_t[d], Gmb[b]) for b in range(dim)] for d in range(dim)]
+    BmT = jnp.asarray(np.asarray(disc.Bm).T, dtype)
+    v_q = [dot(v_t[d], BmT) for d in range(dim)]           # [E, Q] each
+
+    def minor_coeffs(a, b, c, d):
+        """poly coeffs of A*B - C*D where A = a0 + t a1 etc."""
+        (a0, a1), (b0, b1), (c0, c1), (d0, d1) = a, b, c, d
+        return (a0 * b0 - c0 * d0,
+                a0 * b1 + a1 * b0 - c0 * d1 - c1 * d0,
+                a1 * b1 - c1 * d1)
+
+    def Jp(d, b):
+        return (J0[d][b], Jv[d][b])
+
+    # cof(t)[d][b] coefficients, then va_kb = sum_d cof_k[d][b] v_q[d]
+    nkv = 3 if dim == 3 else 2
+    va = [[None] * dim for _ in range(nkv)]                # [k][b] -> [E,Q]
+    det_c = None
+    if dim == 3:
+        for b in range(3):
+            b1, b2 = (b + 1) % 3, (b + 2) % 3
+            cof_b = [minor_coeffs(Jp((d + 1) % 3, b1), Jp((d + 2) % 3, b2),
+                                  Jp((d + 1) % 3, b2), Jp((d + 2) % 3, b1))
+                     for d in range(3)]
+            for k in range(3):
+                acc = cof_b[0][k] * v_q[0]
+                for d in range(1, 3):
+                    acc = acc + cof_b[d][k] * v_q[d]
+                va[k][b] = acc
+            # det = sum_b J(0,b)(t) * cof_b[0](t): affine * quadratic
+            j0, j1 = Jp(0, b)
+            c = cof_b[0]
+            term = (j0 * c[0], j0 * c[1] + j1 * c[0],
+                    j0 * c[2] + j1 * c[1], j1 * c[2])
+            det_c = term if det_c is None else tuple(
+                p + q for p, q in zip(det_c, term))
+    else:
+        # cof columns: b=0 -> [J11, -J01], b=1 -> [-J10, J00] (affine)
+        cols = [[Jp(1, 1), tuple(-x for x in Jp(0, 1))],
+                [tuple(-x for x in Jp(1, 0)), Jp(0, 0)]]
+        for b in range(2):
+            for k in range(2):
+                va[k][b] = (cols[b][0][k] * v_q[0]
+                            + cols[b][1][k] * v_q[1])
+        det_c = minor_coeffs(Jp(0, 0), Jp(1, 1), Jp(0, 1), Jp(1, 0))
+
+    # face normals from tangent tables: T affine in t
+    ft = geo.face_tangent_tables(disc.Gmf, disc.n_ref)
+    assert ft is not None
+    Gt, sgn = ft
+    Gt0 = Gt[..., 0] * sgn[:, None, None]
+    GT1 = jnp.asarray(Gt0.transpose(2, 0, 1).reshape(nm, FQ), dtype)
+    Bmf = np.asarray(disc.Bmf)
+    BmfT = jnp.asarray(Bmf.transpose(2, 0, 1).reshape(nm, FQ), dtype)
+    vfq = [dot(v_t[d], BmfT) for d in range(dim)]          # [E, FQ]
+    T1 = [(dot(x0_t[d], GT1), dot(v_t[d], GT1)) for d in range(dim)]
+    nkn = 3 if dim == 3 else 2
+    if dim == 3:
+        GT2 = jnp.asarray(Gt[..., 1].transpose(2, 0, 1).reshape(nm, FQ),
+                          dtype)
+        T2 = [(dot(x0_t[d], GT2), dot(v_t[d], GT2)) for d in range(dim)]
+        vn = [None] * 3
+        for d in range(3):
+            d1, d2 = (d + 1) % 3, (d + 2) % 3
+            nor_d = minor_coeffs(T1[d1], T2[d2], T1[d2], T2[d1])
+            for k in range(3):
+                t_ = vfq[d] * nor_d[k]
+                vn[k] = t_ if vn[k] is None else vn[k] + t_
+    else:
+        # nor = (t_y, -t_x), t affine
+        vn = [vfq[0] * T1[1][k] - vfq[1] * T1[0][k] for k in range(2)]
+
+    w_q = jnp.asarray(np.asarray(disc.w_q), dtype)
+
+    def padseg(arrs, n):
+        out = jnp.zeros((E, len(arrs) * S), dtype)
+        for i, a in enumerate(arrs):
+            out = out.at[:, i * S:i * S + n].set(a)
+        return out
+
+    VA = padseg([va[k][b] for k in range(nkv) for b in range(dim)], Q)
+    WDET = padseg([w_q[None, :] * c for c in det_c], Q)
+    VN = padseg(list(vn), FQ)
+    # coefficient counts are dim-derived (nkv = nkn = dim, nkd = dim + 1)
+    # so the dict stays jit-transparent (arrays only)
+    return dict(VA=VA, WDET=WDET, VN=VN)
 
 
 def _wdet_kernel(xs_ref, Gmb_ref, w_q_ref, wdet_ref, *, dim):

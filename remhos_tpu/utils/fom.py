@@ -84,17 +84,8 @@ def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
                 return Sv * (1.0 + 1e-30 * t), aux0
             geom = adv.geometry(t)
             if adv._fused_stage:
-                from ..ops import pallas_kernels as pk
-                unbr = adv.gather_nbr(u).reshape(E, -1)
-                out, wdet = pk.fused_stage_ho(
-                    geom["xs"], adv.v_nodes, u, unbr, adv._stage_tables,
-                    mode=1.0, n_cg=0 if level == 1 else None)
-                if level >= 2:
-                    geom["wdet"] = wdet
-                    geom["detJ"] = wdet / adv.w_q[None, :]
-                    from .. import pa as pam
-                    geom["ml"] = pam.lumped_mass_pa(wdet, adv.Bu)
-                du_HO = out
+                du_HO = adv._stage_ho_fused(
+                    geom, u, n_cg=0 if level == 1 else None)
             else:
                 from .. import assembly as asm
                 from .. import pa as pam

@@ -201,6 +201,15 @@ def test_fused_stage_ho_interpret():
         scale = np.abs(du_ref).max()
         assert np.abs(np.asarray(du) - du_ref).max() < 1e-9 * scale
 
+        # polynomial stage geometry (the production path): same answers
+        poly = pk.build_poly_tables(x0, v, disc)
+        du_p, wdet_p = pk.fused_stage_ho_poly(
+            jnp.asarray(t), u, u_nbr, poly, tables, dim=dims, mode=1.0,
+            block_e=64, interpret=True)
+        assert np.abs(np.asarray(wdet_p) - np.asarray(geom["wdet"])).max() \
+            < 1e-12
+        assert np.abs(np.asarray(du_p) - du_ref).max() < 1e-9 * scale
+
     # operator-level: use_pallas Advection runs the fused stage (interpret
     # mode on CPU) and its stage function matches the unfused one
     m = make_cartesian_mesh(3, (4, 4, 4), (0, 0, 0), (1, 1, 1),

@@ -68,7 +68,6 @@ def main():
         ("volume only (n_cg=0)", dict(n_cg=0, with_face=False)),
         ("vol+face   (n_cg=0)", dict(n_cg=0)),
         ("vol+face   (n_cg=3)", dict(n_cg=3)),
-        ("vol+face   (n_cg=3) geomHIGH", dict(n_cg=3, geom_prec=jax.lax.Precision.HIGH)),
     ]
     for label, kw in cases:
         if kw is None:
