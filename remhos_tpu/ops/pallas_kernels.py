@@ -472,9 +472,9 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
     S = tables["seg"]
     Q = tables["Q"]
     if n_cg is None:
-        # Jacobi contraction ~2.5e-3/sweep (see kernel): 3 sweeps reach
-        # the f32 floor, 8 the f64 floor
-        n_cg = 3 if dtype == jnp.float32 else 8
+        # Jacobi contraction ~2.5e-3/sweep (see kernel): 2 sweeps leave
+        # ~1.6e-8 relative error (below the f32 floor), 8 reach f64
+        n_cg = 2 if dtype == jnp.float32 else 8
     if block_e is None:
         # ~16 live [be, S] scratch arrays; keep them within ~12 MB of the
         # 16 MB scoped VMEM (be=512 for p=3/S=256 f32, smaller for p=4)
@@ -611,10 +611,14 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
     S = tables["seg"]
     Q = tables["Q"]
     if n_cg is None:
-        n_cg = 3 if dtype == jnp.float32 else 8
+        # Jacobi contraction ~2.5e-3/sweep: 2 sweeps -> ~1.6e-8 relative
+        n_cg = 2 if dtype == jnp.float32 else 8
     if block_e is None:
-        budget = 180_000 if dtype == jnp.float32 else 90_000
-        block_e = max(64, min(512, budget // S))
+        # the poly operand blocks are fat ([be, (2 dim + 3) S] + scratch,
+        # double-buffered): small blocks overlap the streaming reads best
+        # (measured: be=128 beats 256/512 on v5e)
+        budget = 90_000 if dtype == jnp.float32 else 45_000
+        block_e = max(64, min(128, budget // S))
     be = _pick_block(E, block_e)
     t_arr = jnp.full((1, 1), t, dtype)
     kern = functools.partial(_stage_ho_poly_kernel, dim=dim,

@@ -197,8 +197,10 @@ class ShardedAdvection(Advection):
                 edge_hi = jnp.zeros_like(send_up)
             halos[f_lo] = jnp.where(has_prev, from_prev, edge_lo)
             halos[f_hi] = jnp.where(has_next, from_next, edge_hi)
+        # numpy dof table (not the traced jnp copy) so the slice fast
+        # path stays available inside shard_map
         return strm.gather_nbr_structured(
-            u, mesh.shape, mesh.periodic, self.nbr_dof_local,
+            u, mesh.shape, mesh.periodic, self.disc.dofmaps.nbr_dof_local,
             bdr_value=bdr_value, halo=halos)
 
     # -- bounds with halo extrema (GroupCommunicator equivalent) -----------

@@ -14,6 +14,7 @@ so mesh axis a is grid dim (dim-1-a).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -56,6 +57,19 @@ def _edge_mask(E, shape, axis, side):
     return jnp.asarray(m.reshape(E))
 
 
+def _face_slice_pattern(dim, n1, axis, side):
+    """Lex dof ids of the NEIGHBOR's shared face (its opposite side) in
+    C-flatten order of the remaining dof axes — the order a pure reshape+
+    slice produces. Matches dofmaps.nbr_dof_local on conforming structured
+    grids, letting the gather below be a slice instead of an index gather
+    (index gathers of the dof axis cost ~0.3 ms/stage at the bench size;
+    slices are free)."""
+    idx = np.arange(n1 ** dim).reshape((n1,) * dim)   # axes (z, ..., x)
+    pos = dim - 1 - axis
+    take = 0 if side == 1 else n1 - 1
+    return np.take(idx, take, axis=pos).reshape(-1)
+
+
 def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
                           bdr_value=None, halo=None):
     """u_nbr_face[E, nf, fd] via rolls (ExchangeFaceNbrData equivalent).
@@ -65,13 +79,27 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
     """
     dim = len(shape)
     E, nd = u.shape
+    n1 = round(nd ** (1.0 / dim))
     grid_shape = tuple(reversed(shape))
     ug = u.reshape(grid_shape + (nd,))
+    ug5 = (u.reshape(grid_shape + (n1,) * dim)
+           if n1 ** dim == nd else None)
+    try:
+        nbr_np = np.asarray(nbr_dof_local)   # traced under shard_map ->
+    except jax.errors.TracerArrayConversionError:
+        nbr_np = None                        # keep the gather path
     faces = faces_for_dim(dim)
     outs = []
     for f, (axis, side) in enumerate(faces):
         gdim = _grid_dim(dim, axis)
-        vals = ug[..., nbr_dof_local[f]]                    # [*grid, fd]
+        if ug5 is not None and nbr_np is not None and np.array_equal(
+                nbr_np[f], _face_slice_pattern(dim, n1, axis, side)):
+            pos = dim - 1 - axis
+            take = 0 if side == 1 else n1 - 1
+            vals = jnp.take(ug5, take, axis=dim + pos)
+            vals = vals.reshape(grid_shape + (-1,))         # [*grid, fd]
+        else:
+            vals = ug[..., nbr_dof_local[f]]                # [*grid, fd]
         if halo is not None and f in halo:
             # caller pre-masks the slab (cross-shard value or physical
             # edge); slab shape = the grid edge slice (any sharded axis)
