@@ -105,8 +105,10 @@ def build_case():
     return adv, adv64, step, jnp.stack([u0]), dt, use_pallas
 
 
-def make_loop(step, dt, n_steps):
-    @jax.jit
+def make_loop(step, dt, n_steps, adv):
+    # jit THROUGH adv.bind_poly: the poly geometry tables enter as runtime
+    # buffers, not inlined MLIR constants (~226 MB of module text at the
+    # bench size — the remote compile helper rejects the request)
     def run_steps(S, t0):
         def body(carry, _):
             S, t = carry
@@ -114,7 +116,7 @@ def make_loop(step, dt, n_steps):
             return (S_new, t + dt), ()
         (S, _), _ = jax.lax.scan(body, (S, t0), None, length=n_steps)
         return S
-    return run_steps
+    return adv.bind_poly(run_steps)
 
 
 def verify(adv64, S0, S_final, dt, n_steps):
@@ -175,7 +177,7 @@ def main():
     adv, adv64, step, S, dt, use_pallas = build_case()
     ndofs = S.shape[1] * S.shape[2]
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
-    run_steps = make_loop(step, dt, n_steps)
+    run_steps = make_loop(step, dt, n_steps, adv)
 
     compiled = run_steps.lower(S, jnp.asarray(0.0, S.dtype)).compile()
     ca = compiled.cost_analysis() or {}
@@ -197,7 +199,7 @@ def main():
         extras["mass_rel_loss"] = round(
             verify(adv64, S, S_final, dt, n_steps), 12)
         if DTYPE == "float32" and _env_on("BENCH_CROSSCHECK"):
-            two = make_loop(step, dt, 2)(S, jnp.asarray(0.0, S.dtype))
+            two = make_loop(step, dt, 2, adv)(S, jnp.asarray(0.0, S.dtype))
             jax.block_until_ready(two)
             extras["f32_vs_f64_2step_rel"] = round(
                 cross_precision_check(two), 8)

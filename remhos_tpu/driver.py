@@ -191,14 +191,12 @@ def run(cfg: RunConfig) -> RunResult:
             return sharded_step(Sv, t, dt, x0_sh, v_sh, infl_sh)
     elif cfg.ode_solver <= 10:
         f = adv.stage_function()
-        step = jax.jit(steppers.make_rk_step(f, cfg.ode_solver))
+        step = adv.bind_poly(steppers.make_rk_step(f, cfg.ode_solver))
     else:
-        step = jax.jit(steppers.make_idp_step(adv.mult_unlimited,
-                                              adv.limit_mult,
-                                              cfg.ode_solver,
-                                              compute_mask=adv.compute_mask,
-                                              use_masks=cfg.use_masks,
-                                              geometry=adv.geometry))
+        step = adv.bind_poly(steppers.make_idp_step(
+            adv.mult_unlimited, adv.limit_mult, cfg.ode_solver,
+            compute_mask=adv.compute_mask, use_masks=cfg.use_masks,
+            geometry=adv.geometry))
 
     # --- time loop (remhos.cpp:1146-1330) ---
     if shard_grid is not None:

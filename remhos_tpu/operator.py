@@ -173,13 +173,22 @@ class Advection:
 
     def _stage_ho_fused(self, geom, u, n_cg=None):
         """Run the fused HO stage kernel; populate geom's wdet/detJ/ml on
-        first use (one kernel per field, same stage geometry)."""
+        first use (one kernel per field, same stage geometry). When the
+        stage function marked this geom fused_lo-eligible (standard-RK
+        path: limit_mult's du_HO is this kernel's unmodified output), the
+        kernel also emits the MassBasedAvg LO solution."""
         from .ops import pallas_kernels as pk
         u_nbr = self.gather_nbr(u).reshape(u.shape[0], -1)
-        du, wdet = pk.fused_stage_ho_poly(geom["t"], u, u_nbr, self._poly,
-                                          self._stage_tables,
-                                          dim=self.disc.dim, mode=1.0,
-                                          n_cg=n_cg)
+        with_lo = (bool(geom.get("fused_lo")) and n_cg != 0
+                   and "du_LO_fused" not in geom)
+        res = pk.fused_stage_ho_poly(geom["t"], u, u_nbr, self._poly,
+                                     self._stage_tables,
+                                     dim=self.disc.dim, mode=1.0,
+                                     n_cg=n_cg, dt=geom.get("dt"),
+                                     with_lo=with_lo)
+        du, wdet = res[0], res[1]
+        if with_lo:
+            geom["du_LO_fused"] = res[2]
         if "wdet" not in geom:
             geom["wdet"] = wdet
             geom["detJ"] = wdet / self.w_q[None, :]
@@ -366,6 +375,49 @@ class Advection:
         return bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
                                   self.cfg.bounds_type, active_el=active_el)
 
+    def bind_poly(self, fn):
+        """jit `fn(*args)` with the polynomial geometry tables passed as a
+        RUNTIME argument. Closing over the eager device arrays would make
+        jax inline them as dense MLIR constants (~226 MB of module text at
+        the bench size — the remote compile helper rejects the request);
+        as an argument they are runtime buffers. The tables are rebound on
+        self only while tracing (restored after), so retraces see fresh
+        tracers and cache hits never execute the wrapper body."""
+        if not (self._fused_stage and getattr(self, "_poly", None)):
+            return jax.jit(fn)
+
+        def inner(poly, *args):
+            prev = self._poly
+            self._poly = poly
+            try:
+                return fn(*args)
+            finally:
+                self._poly = prev
+
+        jitted = jax.jit(inner)
+        poly = self._poly
+
+        class _Bound:
+            """Callable + .lower() (bench AOT-compiles the loop)."""
+            def __call__(self, *args):
+                return jitted(poly, *args)
+
+            def lower(self, *args):
+                low = jitted.lower(poly, *args)
+
+                class _Lowered:
+                    def compile(self):
+                        comp = low.compile()
+                        class _Compiled:
+                            def __call__(self, *args2):
+                                return comp(poly, *args2)
+                            def cost_analysis(self):
+                                return comp.cost_analysis()
+                        return _Compiled()
+                return _Lowered()
+
+        return _Bound()
+
     def lumped_mass(self, t):
         """ml at time t (driver mass reports); works on both the fused-
         stage minimal geom and the full geom dicts."""
@@ -385,6 +437,11 @@ class Advection:
         cfg = self.cfg
         bdr_value = self._inflow_face_for(u)
         if cfg.lo == 5:
+            if du_HO is not None and "du_LO_fused" in geom:
+                # already computed inside the fused stage kernel (valid:
+                # the stage function guarantees du_HO is the kernel's
+                # unmodified output at the same dt)
+                return geom["du_LO_fused"]
             if du_HO is None:
                 du_HO = self._ho_solution(geom, u)
             return lom.mass_based_avg(u, du_HO, dt, geom["detJ"], self.w_q,
@@ -603,6 +660,12 @@ class Advection:
         computed once and shared by both halves."""
         def f(t, dt, S):
             geom = self.geometry(t)
+            if self._fused_stage and self.cfg.lo == 5 and self.cfg.fct == 2:
+                # on this path limit_mult's du_HO is mult_unlimited's
+                # output unchanged, so the kernel can emit du_LO too
+                # (IDP recombines between the calls — no flag there)
+                geom["fused_lo"] = True
+                geom["dt"] = dt
             dS = self.mult_unlimited(t, dt, S, geom=geom)
             return self.limit_mult(t, dt, S, dS, geom=geom)
         return f

@@ -447,6 +447,7 @@ def stage_ho_tables(disc, dtype):
                 BglT=J(padc(np.asarray(disc.Bgl).T)),
                 Bgl=J(padr(disc.Bgl)),
                 Bgl2=J(padr(np.asarray(disc.Bgl) * np.asarray(disc.Bgl))),
+                BuT=J(padc(np.asarray(disc.Bu).T)),
                 seg=S, Q=Q)
 
 
@@ -542,21 +543,24 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
 # reassembly pass cannot cheaply).
 
 
-def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, VA_ref, WD_ref, VN_ref,
+def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
                           UT_ref, Buw_ref, BD_ref, SB_ref,
                           A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
-                          out_ref, wdet_ref, *, dim, mode, n_cg, seg,
-                          nkv, nkd, nkn):
+                          BuT_ref, out_ref, wdet_ref, lo_ref=None, *, dim,
+                          mode, n_cg, seg, nkv, nkd, nkn, with_lo):
     """Stage solve with polynomial geometry: no J/cofactor/tangent compute
-    — geometry enters as t-polynomial coefficient reads (see
-    build_poly_tables). Same outputs as _stage_ho_kernel."""
+    — geometry enters as t-polynomial coefficient reads from ONE
+    concatenated operand P = [VA | WDET | VN] (see build_poly_tables).
+    with_lo additionally emits the MassBasedAvg LO solution
+    (remhos_lo.cpp:247-324) — valid only when the caller's du_HO is this
+    kernel's unmodified output (the standard-RK stage path)."""
     dtype = u_ref.dtype
     HI = jax.lax.Precision.HIGHEST
     S = seg
     t = t_ref[0, 0]
 
-    def dot(a, b):
-        return jnp.dot(a, b, preferred_element_type=dtype, precision=HI)
+    def dot(a, b, prec=HI):
+        return jnp.dot(a, b, preferred_element_type=dtype, precision=prec)
 
     def sg(M, k):
         return M[:, k * S:(k + 1) * S]
@@ -569,27 +573,33 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, VA_ref, WD_ref, VN_ref,
 
     u = u_ref[:]
     U = dot(u, UT_ref[:])
-    VA = VA_ref[:]
+    P = P_ref[:]
+    off_wd = nkv * dim
+    off_vn = off_wd + nkd
     du_q = None
     for b in range(dim):
-        va_b = horner(VA, [k * dim + b for k in range(nkv)])
+        va_b = horner(P, [k * dim + b for k in range(nkv)])
         g_b = sg(U, b)
         du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
     Ku = dot(mode * du_q, Buw_ref[:])
-    wdet_ref[:] = horner(WD_ref[:], list(range(nkd)))
+    wdet = horner(P, [off_wd + k for k in range(nkd)])
+    wdet_ref[:] = wdet
 
-    vn = horner(VN_ref[:], list(range(nkn)))
+    vn = horner(P, [off_vn + k for k in range(nkn)])
     up = jnp.maximum(0.0, mode * vn)
     diff_q = dot(unbr_ref[:], BD_ref[:]) - sg(U, dim)
     Ku = Ku + dot(up * diff_q, SB_ref[:])
 
     if n_cg == 0:
         out_ref[:] = Ku
+        if with_lo:
+            lo_ref[:] = Ku
         return
 
-    wdet = wdet_ref[:]
     b_ = dot(Ku, A_ref[:])
-    diag = dot(wdet, Bgl2_ref[:])
+    # the Jacobi preconditioner only needs an approximate diagonal —
+    # DEFAULT (single-pass) precision is plenty
+    diag = dot(wdet, Bgl2_ref[:], jax.lax.Precision.DEFAULT)
     inv_diag = 1.0 / diag
     BglT = BglT_ref[:]
     Bgl = Bgl_ref[:]
@@ -600,12 +610,24 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, VA_ref, WD_ref, VN_ref,
     x = inv_diag * b_
     for _ in range(n_cg):
         x = x + inv_diag * (b_ - amul(x))
-    out_ref[:] = dot(x, AT_ref[:])
+    du = dot(x, AT_ref[:])
+    out_ref[:] = du
+
+    if with_lo:
+        # MassBasedAvg: LO = element average of u + dt*du_HO at the
+        # stage-time mesh (remhos_lo.cpp:247-324)
+        dt = t_ref[0, 1]
+        u_new = u + dt * du
+        u_new_q = dot(u_new, BuT_ref[:])
+        mass = (wdet * u_new_q).sum(axis=1, keepdims=True)
+        vol = wdet.sum(axis=1, keepdims=True)
+        lo_ref[:] = ((mass / vol) - u) / dt
 
 
 def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
-                        n_cg=None, block_e=None, interpret=None):
-    """(du_HO[E,nd], wdet[E,Q]) via polynomial stage geometry (remap)."""
+                        n_cg=None, block_e=None, interpret=None,
+                        dt=None, with_lo=False):
+    """(du_HO[E,nd], wdet[E,Q][, du_LO]) via polynomial stage geometry."""
     E, nd = u.shape
     dtype = u.dtype
     S = tables["seg"]
@@ -620,42 +642,54 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
         budget = 90_000 if dtype == jnp.float32 else 45_000
         block_e = max(64, min(128, budget // S))
     be = _pick_block(E, block_e)
-    t_arr = jnp.full((1, 1), t, dtype)
+    t_arr = jnp.stack([jnp.asarray(t, dtype),
+                       jnp.asarray(0.0 if dt is None else dt, dtype)]
+                      ).reshape(1, 2)
     kern = functools.partial(_stage_ho_poly_kernel, dim=dim,
                              mode=float(mode), n_cg=n_cg, seg=S,
-                             nkv=dim, nkd=dim + 1, nkn=dim)
+                             nkv=dim, nkd=dim + 1, nkn=dim,
+                             with_lo=with_lo)
     tb = tables
 
     def blk(a):
         return pl.BlockSpec((be, a.shape[1]), lambda i: (i, i * 0),
                             memory_space=pltpu.VMEM)
 
-    du, wdet_p = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((be, nd), lambda i: (i, i * 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((be, S), lambda i: (i, i * 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((E, nd), dtype),
+                 jax.ShapeDtypeStruct((E, S), dtype)]
+    if with_lo:
+        out_specs.append(pl.BlockSpec((be, nd), lambda i: (i, i * 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((E, nd), dtype))
+
+    res = pl.pallas_call(
         kern,
         grid=(E // be,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i * 0, i * 0),
+            pl.BlockSpec((1, 2), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.SMEM),
-            blk(u), blk(u_nbr_flat),
-            blk(poly["VA"]), blk(poly["WDET"]), blk(poly["VN"]),
+            blk(u), blk(u_nbr_flat), blk(poly["P"]),
             _rep(tb["UT"].shape), _rep(tb["Buw"].shape),
             _rep(tb["BD"].shape), _rep(tb["SB"].shape),
             _rep(tb["A"].shape), _rep(tb["AT"].shape),
             _rep(tb["BglT"].shape), _rep(tb["Bgl"].shape),
-            _rep(tb["Bgl2"].shape),
+            _rep(tb["Bgl2"].shape), _rep(tb["BuT"].shape),
         ],
-        out_specs=(
-            pl.BlockSpec((be, nd), lambda i: (i, i * 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((be, S), lambda i: (i, i * 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(jax.ShapeDtypeStruct((E, nd), dtype),
-                   jax.ShapeDtypeStruct((E, S), dtype)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=_auto_interpret(interpret),
-    )(t_arr, u, u_nbr_flat, poly["VA"], poly["WDET"], poly["VN"],
+    )(t_arr, u, u_nbr_flat, poly["P"],
       tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
-      tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"])
+      tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"])
+    du, wdet_p = res[0], res[1]
+    if with_lo:
+        return du, wdet_p[:, :Q], res[2]
     return du, wdet_p[:, :Q]
 
 
@@ -765,18 +799,16 @@ def build_poly_tables(x0, v, disc, dtype=None):
 
     w_q = jnp.asarray(np.asarray(disc.w_q), dtype)
 
-    def padseg(arrs, n):
-        out = jnp.zeros((E, len(arrs) * S), dtype)
-        for i, a in enumerate(arrs):
-            out = out.at[:, i * S:i * S + n].set(a)
-        return out
-
-    VA = padseg([va[k][b] for k in range(nkv) for b in range(dim)], Q)
-    WDET = padseg([w_q[None, :] * c for c in det_c], Q)
-    VN = padseg(list(vn), FQ)
-    # coefficient counts are dim-derived (nkv = nkn = dim, nkd = dim + 1)
-    # so the dict stays jit-transparent (arrays only)
-    return dict(VA=VA, WDET=WDET, VN=VN)
+    # ONE concatenated operand [VA | WDET | VN] so the kernel streams a
+    # single fat block per grid step; coefficient counts are dim-derived
+    # (nkv = nkn = dim, nkd = dim + 1) so the dict stays jit-transparent
+    segs = ([(va[k][b], Q) for k in range(nkv) for b in range(dim)]
+            + [(w_q[None, :] * c, Q) for c in det_c]
+            + [(a, FQ) for a in vn])
+    P = jnp.zeros((E, len(segs) * S), dtype)
+    for i, (a, n) in enumerate(segs):
+        P = P.at[:, i * S:i * S + n].set(a)
+    return dict(P=P)
 
 
 def _wdet_kernel(xs_ref, Gmb_ref, w_q_ref, wdet_ref, *, dim):

@@ -39,7 +39,7 @@ from .. import fct as fctm
 from .. import steppers
 
 
-def _timed_loop(step, S, dt, n_steps, reps=3):
+def _timed_loop(step, S, dt, n_steps, adv, reps=3):
     """Best wall time of a jitted n_steps scan over `step` (single
     dispatch per call; per-call dispatch through the axon tunnel costs
     ~2 ms and would otherwise swamp sub-ms phases)."""
@@ -49,7 +49,7 @@ def _timed_loop(step, S, dt, n_steps, reps=3):
             return S_new, ()
         out, _ = jax.lax.scan(body, S0, None, length=n_steps)
         return out
-    f = jax.jit(loop)
+    f = adv.bind_poly(loop)
     jax.block_until_ready(f(S))
     best = float("inf")
     worst = 0.0
@@ -125,7 +125,7 @@ def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
     noise = 0.0
     for level in range(6):
         step = steppers.make_rk_step(stage_prefix(level), rk)
-        best, worst = _timed_loop(step, S, dt, n_steps, reps)
+        best, worst = _timed_loop(step, S, dt, n_steps, adv, reps)
         per_stage = best / (n_steps * stages)
         if level == 0:
             times["combine"] = per_stage

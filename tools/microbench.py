@@ -27,15 +27,18 @@ from remhos_tpu.operator import Advection, SolverConfig
 N_INNER = 30
 
 
-def scan_time(fn, u0, reps=3, n=N_INNER):
-    """Per-iteration seconds for u -> u-shaped fn, single dispatch."""
+def scan_time(fn, u0, reps=3, n=N_INNER, jitter=jax.jit):
+    """Per-iteration seconds for u -> u-shaped fn, single dispatch.
+    Pass jitter=adv.bind_poly for anything closing over the poly tables
+    (plain jit inlines them as MLIR constants; the remote compile helper
+    rejects the oversized module)."""
     def loop(u):
         def body(c, _):
             r = fn(c)
             return c + 1e-12 * r, ()
         out, _ = jax.lax.scan(body, u, None, length=n)
         return out
-    f = jax.jit(loop)
+    f = jitter(loop)
     r = f(u0)
     jax.block_until_ready(r)
     best = float("inf")
@@ -112,7 +115,7 @@ def main():
 
     f = adv.stage_function()
     print(f"full stage      "
-          f"{1e3 * scan_time(lambda u: f(jnp.asarray(0.1, w), dt, u[None])[0][0], u0):8.3f} ms")
+          f"{1e3 * scan_time(lambda u: f(jnp.asarray(0.1, w), dt, u[None])[0][0], u0, jitter=adv.bind_poly):8.3f} ms")
 
     step = steppers.make_rk_step(f, 3)
     S = jnp.stack([u0])
@@ -123,7 +126,7 @@ def main():
             return Sn, ()
         out, _ = jax.lax.scan(body, S, None, length=10)
         return out
-    g = jax.jit(loop_steps)
+    g = adv.bind_poly(loop_steps)
     r = g(S)
     jax.block_until_ready(r)
     best = float("inf")
