@@ -22,7 +22,15 @@ estimate from XLA's cost analysis. Environment knobs:
                  p=4 leg -- the BASELINE.md target point)
   BENCH_P4       "0" skips the p=4 leg of the dual record
   BENCH_CROSSCHECK "0" skips the f32-vs-f64 state cross-check
-  BENCH_STEPS    timed RK3 steps (default 10)
+  BENCH_STEPS    timed RK3 steps (default 320). The whole loop is ONE
+                 device dispatch (lax.scan); host<->device orchestration
+                 through the axon tunnel costs ~25 ms PER DISPATCH
+                 regardless of length (measured: wall = 25 ms + n*2.16 ms;
+                 the device-side scan accounts for the slope exactly), so
+                 short runs measure mostly latency. 320 steps puts the
+                 fixed latency below 4% of wall.
+  BENCH_DT       step size (default 0.2/BENCH_STEPS: the same t in [0,0.2]
+                 remap trajectory at every step count)
   BENCH_PALLAS   "0" disables the fused Pallas geometry kernel (default on)
   BENCH_DUAL     "0" skips the f64 run
   BENCH_PHASES   "0" skips the per-phase FOM measurement
@@ -84,7 +92,8 @@ def build_case():
         and DTYPE == "float32"
     scfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
                         pa=True, use_pallas=use_pallas)
-    dt = 0.02
+    n_steps = int(os.environ.get("BENCH_STEPS", "320"))
+    dt = float(os.environ.get("BENCH_DT", "0") or 0.2 / n_steps)
     w_dtype = jnp.float32 if DTYPE == "float32" else None
     x0 = jnp.asarray(mesh.x)
     v = _integrate_mesh_velocity(mesh.x, disc.Bm, problem, mesh.bb_min,
@@ -133,10 +142,13 @@ def verify(adv64, S0, S_final, dt, n_steps):
     # Remap conservation has a TEMPORAL error: RK3 satisfies the moving-
     # mesh geometric conservation law only to O(dt^4) per step — measured
     # ~1.7e-7/step at dt=0.02 in f64 (the reference's ~1e-12 remap losses
-    # correspond to its much smaller dt). Budget that plus f32 round-off;
-    # an actual conservation bug (broken FCT/lumping) shows up at 1e-3+.
-    gcl = 5e-7 * n_steps * max(1.0, (dt / 0.02) ** 4)
-    tol = gcl + (1e-6 * n_steps if S0.dtype == jnp.float32 else 0.0)
+    # correspond to its much smaller dt); budget 3x that per step, with a
+    # round-off floor. f32 adds a per-step round-off random walk on the
+    # mass (~1e-7 relative each); an actual conservation bug (broken
+    # FCT/lumping) shows up at 1e-3+.
+    gcl = n_steps * max(5e-7 * (dt / 0.02) ** 4, 3e-11)
+    tol = gcl + (3e-7 * n_steps ** 0.5 + 2e-8 * n_steps
+                 if S0.dtype == jnp.float32 else 0.0)
     assert rel_loss < tol, f"mass conservation broken: rel loss {rel_loss:g}"
     btol = 1e-5 if S0.dtype == jnp.float32 else 1e-10
     assert float(S_final[0].max()) <= float(S0[0].max()) + btol, "overshoot"
@@ -144,7 +156,7 @@ def verify(adv64, S0, S_final, dt, n_steps):
     return rel_loss
 
 
-def cross_precision_check(S2_f32):
+def cross_precision_check(S2_f32, dt):
     """Compare the f32 2-step state against the f64 2-step state.
     Catches silently-degenerate f32 hot paths. Uses a pre-computed dump
     (BENCH_CROSSREF, written by the dual-mode f64 leg) when available to
@@ -156,7 +168,7 @@ def cross_precision_check(S2_f32):
         env = dict(os.environ)
         env.update(BENCH_DTYPE="float64", BENCH_CROSSDUMP=ref_path,
                    BENCH_STEPS="2", BENCH_DUAL="0", BENCH_PHASES="0",
-                   BENCH_VERIFY="0")
+                   BENCH_VERIFY="0", BENCH_DT=repr(dt))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True)
         if out.returncode != 0:
@@ -176,7 +188,7 @@ def cross_precision_check(S2_f32):
 def main():
     adv, adv64, step, S, dt, use_pallas = build_case()
     ndofs = S.shape[1] * S.shape[2]
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "320"))
     run_steps = make_loop(step, dt, n_steps, adv)
 
     compiled = run_steps.lower(S, jnp.asarray(0.0, S.dtype)).compile()
@@ -202,7 +214,7 @@ def main():
             two = make_loop(step, dt, 2, adv)(S, jnp.asarray(0.0, S.dtype))
             jax.block_until_ready(two)
             extras["f32_vs_f64_2step_rel"] = round(
-                cross_precision_check(two), 8)
+                cross_precision_check(two, dt), 8)
 
     stages = 3  # RK3: FOM counts stages (remhos.cpp:1340-1347)
     fom = 1e-6 * ndofs * n_steps * stages / wall
@@ -230,9 +242,13 @@ def main():
 
     if _env_on("BENCH_PHASES"):
         from remhos_tpu.utils.fom import measure_phases, print_fom_report
-        phases = measure_phases(adv, S[0], dt, n_steps=n_steps)
-        foms = print_fom_report(phases, ndofs, n_steps * stages,
-                                total_wall=wall)
+        # phases use a shorter loop (6 ablation levels x reps); the fixed
+        # per-dispatch latency is measured separately inside and reported
+        # as its own "dispatch" bucket, so short loops stay honest
+        ph_steps = min(n_steps, 40)
+        phases = measure_phases(adv, S[0], dt, n_steps=ph_steps)
+        foms = print_fom_report(phases, ndofs, ph_steps * stages,
+                                total_wall=phases.get("wall_total"))
         for k, v in foms.items():
             result[k] = round(v, 3)
 
@@ -253,6 +269,8 @@ def main_dual():
     afterwards (compile-cache friendly). The LAST printed JSON line is
     the complete record."""
     vals = {}
+    n_steps = int(os.environ.get("BENCH_STEPS", "320"))
+    res_dt = os.environ.get("BENCH_DT", "") or repr(0.2 / n_steps)
     legs = [("float32", {})]
     if _env_on("BENCH_P4"):
         # the BASELINE.md target point (p=4 3D PA): f32, mass/bounds
@@ -260,7 +278,10 @@ def main_dual():
         # a second full f64 compile would double the bench budget)
         legs.append(("p4", dict(BENCH_DTYPE="float32", BENCH_P="4",
                                 BENCH_PHASES="0", BENCH_CROSSCHECK="0")))
+    # f64 leg at the f32 leg's dt: its 2-step program is then byte-
+    # identical to the cross-check's spawn (compile-cache friendly)
     legs.append(("float64", dict(BENCH_DTYPE="float64", BENCH_PHASES="0",
+                                 BENCH_DT=res_dt,
                                  BENCH_STEPS=os.environ.get(
                                      "BENCH_STEPS_F64", "2"))))
     for tag, overrides in legs:
@@ -294,6 +315,44 @@ def main_dual():
     result["f64_value"] = f64.get("value", 0.0)
     result["f64_vs_baseline"] = f64.get("vs_baseline", 0.0)
     result["f64_mass_rel_loss"] = f64.get("mass_rel_loss", None)
+
+    if _env_on("BENCH_SWEEP"):
+        # size/order sweep (verified f32 points, shorter loops): where
+        # does throughput plateau vs problem size, and the BASELINE.md
+        # p=4 target at scale. (N, p) of the main legs are reused.
+        sweep = []
+        for (N, P) in ((24, 3), (32, 3), (48, 3), (24, 4), (32, 4)):
+            if N == 24 and P == 3 and f32:
+                src = f32
+            elif N == 24 and P == 4 and p4:
+                src = p4
+            else:
+                env = dict(os.environ)
+                env.update(BENCH_DTYPE="float32", BENCH_DUAL="0",
+                           BENCH_PHASES="0", BENCH_CROSSCHECK="0",
+                           BENCH_N=str(N), BENCH_P=str(P),
+                           BENCH_STEPS=os.environ.get("BENCH_STEPS_SWEEP",
+                                                      "80"), BENCH_DT="")
+                out = subprocess.run([sys.executable, __file__], env=env,
+                                     capture_output=True, text=True)
+                src = {}
+                for line in out.stdout.splitlines():
+                    if line.startswith("{"):
+                        src = json.loads(line)
+                if not src:
+                    print(f"(sweep N={N} p={P} failed)\n"
+                          + out.stderr[-800:], file=sys.stderr)
+                    continue
+            sweep.append({"N": N, "p": P, "ndofs": src.get("ndofs"),
+                          "value": src.get("value"),
+                          "verified": src.get("verified", False),
+                          "hbm_util": src.get("hbm_util")})
+            print(json.dumps(result | {"sweep": sweep}), flush=True)
+        result["sweep"] = sweep
+        if sweep:
+            best = max(sweep, key=lambda r: r["value"] or 0.0)
+            result["sweep_peak"] = {"N": best["N"], "p": best["p"],
+                                    "value": best["value"]}
     print(json.dumps(result))
 
 

@@ -654,11 +654,36 @@ class Advection:
 
     # ------------------------------------------------------------------
 
+    def _mega_stage_eligible(self):
+        """The whole -ho 3 -lo 5 -fct 2 standard-RK stage collapses into
+        ONE Pallas kernel when nothing outside it needs the intermediate
+        du_HO/du_LO/wdet (no -vb checks, no dt control, single field)."""
+        cfg = self.cfg
+        return (self._fused_stage and cfg.lo == 5 and cfg.fct == 2
+                and not cfg.verify_bounds and cfg.dt_control == 0)
+
+    def _mega_stage(self, t, dt, S):
+        """Single-kernel limited stage: bounds (a function of u alone) in
+        XLA, then HO+LO+lumped-mass+ClipScale fused (fused_stage_mega_poly).
+        Only the limited du touches HBM."""
+        from .ops import pallas_kernels as pk
+        u = S[0]
+        el_min, el_max = bnd.elements_min_max(u)
+        x_min, x_max = self.compute_bounds(el_min, el_max)
+        u_nbr = self.gather_nbr(u).reshape(u.shape[0], -1)
+        du = pk.fused_stage_mega_poly(t, dt, u, u_nbr, x_min, x_max,
+                                      self._poly, self._stage_tables,
+                                      dim=self.disc.dim, mode=1.0)
+        ratio = jnp.asarray(jnp.inf, S.dtype)
+        return jnp.stack([du]), self._aux(ratio, jnp.zeros((), jnp.int32))
+
     def stage_function(self):
         """f(t, dt, S) -> (dS, aux) for the standard RK path
         (LimitedTimeDependentOperator::Mult). The stage geometry is
         computed once and shared by both halves."""
         def f(t, dt, S):
+            if S.shape[0] == 1 and self._mega_stage_eligible():
+                return self._mega_stage(t, dt, S)
             geom = self.geometry(t)
             if self._fused_stage and self.cfg.lo == 5 and self.cfg.fct == 2:
                 # on this path limit_mult's du_HO is mult_unlimited's

@@ -448,6 +448,7 @@ def stage_ho_tables(disc, dtype):
                 Bgl=J(padr(disc.Bgl)),
                 Bgl2=J(padr(np.asarray(disc.Bgl) * np.asarray(disc.Bgl))),
                 BuT=J(padc(np.asarray(disc.Bu).T)),
+                BuP=J(padr(np.asarray(disc.Bu))),
                 seg=S, Q=Q)
 
 
@@ -543,21 +544,20 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
 # reassembly pass cannot cheaply).
 
 
-def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
-                          UT_ref, Buw_ref, BD_ref, SB_ref,
-                          A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
-                          BuT_ref, out_ref, wdet_ref, lo_ref=None, *, dim,
-                          mode, n_cg, seg, nkv, nkd, nkn, with_lo):
-    """Stage solve with polynomial geometry: no J/cofactor/tangent compute
-    — geometry enters as t-polynomial coefficient reads from ONE
-    concatenated operand P = [VA | WDET | VN] (see build_poly_tables).
-    with_lo additionally emits the MassBasedAvg LO solution
-    (remhos_lo.cpp:247-324) — valid only when the caller's du_HO is this
-    kernel's unmodified output (the standard-RK stage path)."""
-    dtype = u_ref.dtype
+_EPS_CS = 1.0e-15   # ClipScale rescale guard (remhos_fct.cpp:486)
+
+
+def _poly_stage_core(t, u, unbr, P, T, *, dim, mode, n_cg, seg,
+                     nkv, nkd, nkn):
+    """Shared in-VMEM math of the polynomial-geometry stage solve: no
+    J/cofactor/tangent compute — geometry enters as t-polynomial
+    coefficient reads from ONE concatenated operand P = [VA | WDET | VN]
+    (see build_poly_tables). T maps table names to their VMEM refs.
+    Returns (du_HO, wdet) — or (Ku, wdet) when n_cg == 0 (phase
+    ablation's mass-solve-off mode)."""
+    dtype = u.dtype
     HI = jax.lax.Precision.HIGHEST
     S = seg
-    t = t_ref[0, 0]
 
     def dot(a, b, prec=HI):
         return jnp.dot(a, b, preferred_element_type=dtype, precision=prec)
@@ -571,9 +571,7 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
             acc = sg(M, k) + t * acc
         return acc
 
-    u = u_ref[:]
-    U = dot(u, UT_ref[:])
-    P = P_ref[:]
+    U = dot(u, T["UT"][:])
     off_wd = nkv * dim
     off_vn = off_wd + nkd
     du_q = None
@@ -581,28 +579,24 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
         va_b = horner(P, [k * dim + b for k in range(nkv)])
         g_b = sg(U, b)
         du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
-    Ku = dot(mode * du_q, Buw_ref[:])
+    Ku = dot(mode * du_q, T["Buw"][:])
     wdet = horner(P, [off_wd + k for k in range(nkd)])
-    wdet_ref[:] = wdet
 
     vn = horner(P, [off_vn + k for k in range(nkn)])
     up = jnp.maximum(0.0, mode * vn)
-    diff_q = dot(unbr_ref[:], BD_ref[:]) - sg(U, dim)
-    Ku = Ku + dot(up * diff_q, SB_ref[:])
+    diff_q = dot(unbr, T["BD"][:]) - sg(U, dim)
+    Ku = Ku + dot(up * diff_q, T["SB"][:])
 
     if n_cg == 0:
-        out_ref[:] = Ku
-        if with_lo:
-            lo_ref[:] = Ku
-        return
+        return Ku, wdet
 
-    b_ = dot(Ku, A_ref[:])
+    b_ = dot(Ku, T["A"][:])
     # the Jacobi preconditioner only needs an approximate diagonal —
     # DEFAULT (single-pass) precision is plenty
-    diag = dot(wdet, Bgl2_ref[:], jax.lax.Precision.DEFAULT)
+    diag = dot(wdet, T["Bgl2"][:], jax.lax.Precision.DEFAULT)
     inv_diag = 1.0 / diag
-    BglT = BglT_ref[:]
-    Bgl = Bgl_ref[:]
+    BglT = T["BglT"][:]
+    Bgl = T["Bgl"][:]
 
     def amul(g):
         return dot(dot(g, BglT) * wdet, Bgl)
@@ -610,18 +604,86 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
     x = inv_diag * b_
     for _ in range(n_cg):
         x = x + inv_diag * (b_ - amul(x))
-    du = dot(x, AT_ref[:])
-    out_ref[:] = du
+    return dot(x, T["AT"][:]), wdet
 
+
+def _mass_based_avg_core(u, du, dt, wdet, BuT_ref):
+    """MassBasedAvg LO: element average of u + dt*du_HO at the stage-time
+    mesh (remhos_lo.cpp:247-324); all operands already in VMEM."""
+    HI = jax.lax.Precision.HIGHEST
+    u_new = u + dt * du
+    u_new_q = jnp.dot(u_new, BuT_ref[:], preferred_element_type=u.dtype,
+                      precision=HI)
+    mass = (wdet * u_new_q).sum(axis=1, keepdims=True)
+    vol = wdet.sum(axis=1, keepdims=True)
+    return ((mass / vol) - u) / dt
+
+
+def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
+                          UT_ref, Buw_ref, BD_ref, SB_ref,
+                          A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
+                          BuT_ref, out_ref, wdet_ref, lo_ref=None, *, dim,
+                          mode, n_cg, seg, nkv, nkd, nkn, with_lo):
+    """(du_HO, wdet[, du_LO]) outputs of the polynomial stage solve.
+    with_lo additionally emits the MassBasedAvg LO solution — valid only
+    when the caller's du_HO is this kernel's unmodified output (the
+    standard-RK stage path)."""
+    T = dict(UT=UT_ref, Buw=Buw_ref, BD=BD_ref, SB=SB_ref, A=A_ref,
+             AT=AT_ref, BglT=BglT_ref, Bgl=Bgl_ref, Bgl2=Bgl2_ref)
+    u = u_ref[:]
+    du, wdet = _poly_stage_core(t_ref[0, 0], u, unbr_ref[:], P_ref[:], T,
+                                dim=dim, mode=mode, n_cg=n_cg, seg=seg,
+                                nkv=nkv, nkd=nkd, nkn=nkn)
+    out_ref[:] = du
+    wdet_ref[:] = wdet
     if with_lo:
-        # MassBasedAvg: LO = element average of u + dt*du_HO at the
-        # stage-time mesh (remhos_lo.cpp:247-324)
-        dt = t_ref[0, 1]
-        u_new = u + dt * du
-        u_new_q = dot(u_new, BuT_ref[:])
-        mass = (wdet * u_new_q).sum(axis=1, keepdims=True)
-        vol = wdet.sum(axis=1, keepdims=True)
-        lo_ref[:] = ((mass / vol) - u) / dt
+        if n_cg == 0:
+            lo_ref[:] = du
+            return
+        lo_ref[:] = _mass_based_avg_core(u, du, t_ref[0, 1], wdet, BuT_ref)
+
+
+def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
+                       UT_ref, Buw_ref, BD_ref, SB_ref,
+                       A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
+                       BuT_ref, BuP_ref, out_ref, *, dim, mode, n_cg, seg,
+                       nkv, nkd, nkn):
+    """The FULL limited stage in one kernel: HO solve + MassBasedAvg LO +
+    lumped mass + ClipScale FCT (remhos_fct.cpp:484-539). Emits ONLY the
+    limited du — du_HO/du_LO/wdet never touch HBM. Valid on the
+    standard-RK -ho 3 -lo 5 -fct 2 path (limit_mult's du_HO is the HO
+    solve's unmodified output); per-dof bounds enter as operands (they
+    depend on u only, so the caller computes them before the kernel)."""
+    T = dict(UT=UT_ref, Buw=Buw_ref, BD=BD_ref, SB=SB_ref, A=A_ref,
+             AT=AT_ref, BglT=BglT_ref, Bgl=Bgl_ref, Bgl2=Bgl2_ref)
+    u = u_ref[:]
+    dt = t_ref[0, 1]
+    du, wdet = _poly_stage_core(t_ref[0, 0], u, unbr_ref[:], P_ref[:], T,
+                                dim=dim, mode=mode, n_cg=n_cg, seg=seg,
+                                nkv=nkv, nkd=nkd, nkn=nkn)
+    du_lo = _mass_based_avg_core(u, du, dt, wdet, BuT_ref)
+    HI = jax.lax.Precision.HIGHEST
+    ml = jnp.dot(wdet, BuP_ref[:], preferred_element_type=u.dtype,
+                 precision=HI)
+
+    # ClipScale: clip the antidiffusive flux to the dof bounds, then a
+    # mass-conserving rescale (remhos_fct.cpp:484-539). Padded lanes have
+    # ml == 0 -> f == 0 there, so the row sums are exact; the final
+    # division puts NaN only in lanes the block store discards.
+    u_new_lo = u + dt * du_lo
+    f_min = ml / dt * (xmin_ref[:] - u_new_lo)
+    f_max = ml / dt * (xmax_ref[:] - u_new_lo)
+    f = ml * (du - du_lo)
+    f = jnp.minimum(f_max, jnp.maximum(f_min, f))
+
+    sum_neg = jnp.minimum(f, 0.0).sum(axis=1, keepdims=True)
+    sum_pos = jnp.maximum(f, 0.0).sum(axis=1, keepdims=True)
+    new_mass = sum_neg + sum_pos
+    fpos = jnp.maximum(f, 0.0)
+    fneg = jnp.minimum(f, 0.0)
+    f = jnp.where(new_mass > _EPS_CS, fneg - fpos * (sum_neg / sum_pos), f)
+    f = jnp.where(new_mass < -_EPS_CS, fpos - fneg * (sum_pos / sum_neg), f)
+    out_ref[:] = du_lo + f / ml
 
 
 def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
@@ -691,6 +753,59 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
     if with_lo:
         return du, wdet_p[:, :Q], res[2]
     return du, wdet_p[:, :Q]
+
+
+def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
+                          *, dim, mode, n_cg=None, block_e=None,
+                          interpret=None):
+    """du_limited[E, nd]: the complete -ho 3 -lo 5 -fct 2 stage (HO solve,
+    MassBasedAvg LO, lumped mass, ClipScale) in ONE kernel. Only the
+    limited du reaches HBM; the per-dof bounds (functions of u alone) are
+    computed by the caller and enter as operands."""
+    E, nd = u.shape
+    dtype = u.dtype
+    S = tables["seg"]
+    if n_cg is None:
+        # Jacobi contraction ~2.5e-3/sweep: 2 sweeps -> ~1.6e-8 relative
+        n_cg = 2 if dtype == jnp.float32 else 8
+    if block_e is None:
+        budget = 90_000 if dtype == jnp.float32 else 45_000
+        block_e = max(64, min(128, budget // S))
+    be = _pick_block(E, block_e)
+    t_arr = jnp.stack([jnp.asarray(t, dtype), jnp.asarray(dt, dtype)]
+                      ).reshape(1, 2)
+    kern = functools.partial(_stage_mega_kernel, dim=dim, mode=float(mode),
+                             n_cg=n_cg, seg=S, nkv=dim, nkd=dim + 1,
+                             nkn=dim)
+    tb = tables
+
+    def blk(a):
+        return pl.BlockSpec((be, a.shape[1]), lambda i: (i, i * 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kern,
+        grid=(E // be,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            blk(u), blk(u_nbr_flat), blk(poly["P"]),
+            blk(x_min), blk(x_max),
+            _rep(tb["UT"].shape), _rep(tb["Buw"].shape),
+            _rep(tb["BD"].shape), _rep(tb["SB"].shape),
+            _rep(tb["A"].shape), _rep(tb["AT"].shape),
+            _rep(tb["BglT"].shape), _rep(tb["Bgl"].shape),
+            _rep(tb["Bgl2"].shape), _rep(tb["BuT"].shape),
+            _rep(tb["BuP"].shape),
+        ],
+        out_specs=pl.BlockSpec((be, nd), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, nd), dtype),
+        interpret=_auto_interpret(interpret),
+    )(t_arr, u, u_nbr_flat, poly["P"], x_min, x_max,
+      tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
+      tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"],
+      tb["BuP"])
 
 
 def build_poly_tables(x0, v, disc, dtype=None):

@@ -84,6 +84,12 @@ def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
                 return Sv * (1.0 + 1e-30 * t), aux0
             geom = adv.geometry(t)
             if adv._fused_stage:
+                if level >= 3 and adv.cfg.lo == 5 and adv.cfg.fct == 2:
+                    # mirror the real stage path: LO is emitted by the
+                    # fused kernel there, so its incremental cost lands
+                    # in this level's delta (near zero), not in fct's
+                    geom["fused_lo"] = True
+                    geom["dt"] = dt_
                 du_HO = adv._stage_ho_fused(
                     geom, u, n_cg=0 if level == 1 else None)
             else:
@@ -104,10 +110,14 @@ def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
                                               adv.A_gl2b)
             out = du_HO
             if level >= 3:
-                from .. import lo as lom
-                du_LO = lom.mass_based_avg(u, du_HO, dt_, geom["detJ"],
-                                           adv.w_q, adv.Bu)
-                out = du_LO
+                if "du_LO_fused" in geom:
+                    du_LO = geom["du_LO_fused"]
+                else:
+                    from .. import lo as lom
+                    du_LO = lom.mass_based_avg(u, du_HO, dt_, geom["detJ"],
+                                               adv.w_q, adv.Bu)
+                # keep du_HO alive (the real stage feeds it to FCT)
+                out = du_LO + 1e-30 * du_HO
             if level >= 4:
                 el_min, el_max = bnd.elements_min_max(u)
                 x_min, x_max = adv.compute_bounds(el_min, el_max)
@@ -128,11 +138,25 @@ def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
         best, worst = _timed_loop(step, S, dt, n_steps, adv, reps)
         per_stage = best / (n_steps * stages)
         if level == 0:
-            times["combine"] = per_stage
+            # EVERY dispatched loop pays a fixed host<->device
+            # orchestration latency (~25 ms through the axon tunnel)
+            # independent of length; a second scan length separates it
+            # from the real per-stage RK-combine work (wall = a + b*n).
+            # The latency term is identical at every level, so the
+            # level-to-level deltas below cancel it exactly — only this
+            # absolute bucket needs the two-point fit.
+            best4, _ = _timed_loop(step, S, dt, 4 * n_steps, adv, reps)
+            slope = (best4 - best) / (3 * n_steps * stages)
+            times["combine"] = max(slope, 0.0)
+            times["dispatch_per_call"] = max(best - slope
+                                             * n_steps * stages, 0.0)
+            times["dispatch"] = times["dispatch_per_call"] / (
+                n_steps * stages)
         else:
             times[labels[level]] = per_stage - prev
         if level == 5:
             noise = (worst - best) / (n_steps * stages)
+            times["wall_total"] = best
         prev = per_stage
     times["pipeline_total"] = prev        # == the real benched step loop
     times["noise_floor"] = noise
@@ -146,8 +170,9 @@ def print_fom_report(phase_times, ndofs, stages, total_wall=None):
     integrator combine/scan overhead are reported as extra rows here."""
     T = {k: phase_times[k] * stages
          for k in ("rhs", "inv", "lo", "bounds", "fct", "combine")}
+    disp = phase_times.get("dispatch_per_call", 0.0)
     total_ref = T["rhs"] + T["inv"] + T["lo"] + T["fct"]
-    total_all = sum(T.values())
+    total_all = sum(T.values()) + disp
     ds = ndofs * stages
     noise = phase_times.get("noise_floor", 0.0) * stages
     print("---")
@@ -157,7 +182,8 @@ def print_fom_report(phase_times, ndofs, stages, total_wall=None):
     print(f"FCT    kernel time: {T['fct']:.6g}")
     print(f"Total  kernel time: {total_ref:.6g}")
     print(f"(extra buckets outside the reference's stopwatches: "
-          f"bounds {T['bounds']:.6g}, RK combine/scan {T['combine']:.6g})")
+          f"bounds {T['bounds']:.6g}, RK combine/scan {T['combine']:.6g}, "
+          f"fixed dispatch latency {disp:.6g}/dispatch)")
     if total_wall is not None:
         print(f"(cross-check: measured full-step wall {total_wall:.6g}, "
               f"phase-sum covers "
@@ -174,6 +200,7 @@ def print_fom_report(phase_times, ndofs, stages, total_wall=None):
             print(f"FOM {label}: {out[f'fom_{k}']:.6g}")
     out["fom"] = 1e-6 * ds / total_ref
     out["fom_all"] = 1e-6 * ds / total_all
+    out["dispatch_ms_per_call"] = 1e3 * disp
     print(f"FOM:     {out['fom']:.6g}")
     print("(megadofs x time steps / second)\n---")
     return out

@@ -221,6 +221,9 @@ def test_fused_stage_ho_interpret():
                         use_pallas=True)
     advp = Advection(disc, pcfg, x0, v, None)
     assert advp._fused_stage
+    # the single-field standard-RK stage routes through the mega kernel
+    # (HO+LO+lumped mass+ClipScale in one pallas_call)
+    assert advp._mega_stage_eligible()
     rng = np.random.default_rng(2)
     u0 = jnp.asarray(rng.random((m.num_elements, disc.nd)))
     S = jnp.stack([u0])
@@ -230,6 +233,12 @@ def test_fused_stage_ho_interpret():
     dS_fused, _ = advp.stage_function()(0.3, 0.01, S)
     scale = np.abs(np.asarray(dS_ref)).max()
     assert np.abs(np.asarray(dS_fused) - np.asarray(dS_ref)).max() \
+        < 1e-9 * scale
+    # and the non-mega fused composition (the IDP-path building blocks)
+    # agrees too: force it by disabling the mega route
+    dS_parts = advp.mult_unlimited(0.3, 0.01, S)
+    dS_parts, _ = advp.limit_mult(0.3, 0.01, S, dS_parts)
+    assert np.abs(np.asarray(dS_parts) - np.asarray(dS_ref)).max() \
         < 1e-9 * scale
 
 
