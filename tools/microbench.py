@@ -31,23 +31,33 @@ def scan_time(fn, u0, reps=3, n=N_INNER, jitter=jax.jit):
     """Per-iteration seconds for u -> u-shaped fn, single dispatch.
     Pass jitter=adv.bind_poly for anything closing over the poly tables
     (plain jit inlines them as MLIR constants; the remote compile helper
-    rejects the oversized module)."""
-    def loop(u):
-        def body(c, _):
-            r = fn(c)
-            return c + 1e-12 * r, ()
-        out, _ = jax.lax.scan(body, u, None, length=n)
-        return out
-    f = jitter(loop)
-    r = f(u0)
-    jax.block_until_ready(r)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = f(u0)
-        jax.block_until_ready(r)
-        best = min(best, (time.perf_counter() - t0) / n)
-    return best
+    rejects the oversized module).
+
+    MB_FIT=1: measure at n and 3n and report the SLOPE — every dispatched
+    program pays a fixed ~25 ms host<->device orchestration latency
+    through the axon tunnel, so single-length numbers carry a +latency/n
+    floor (~0.8 ms at n=30). The fit doubles compile cost; default off.
+    """
+    def timed(length):
+        def loop(u):
+            def body(c, _):
+                r = fn(c)
+                return c + 1e-12 * r, ()
+            out, _ = jax.lax.scan(body, u, None, length=length)
+            return out
+        f = jitter(loop)
+        jax.block_until_ready(f(u0))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(u0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    b1 = timed(n)
+    if os.environ.get("MB_FIT", "0") not in ("0", "", "false"):
+        b3 = timed(3 * n)
+        return (b3 - b1) / (2 * n)
+    return b1 / n
 
 
 def main():
