@@ -93,7 +93,7 @@ def build_case():
     scfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
                         pa=True, use_pallas=use_pallas)
     n_steps = int(os.environ.get("BENCH_STEPS", "320"))
-    dt = float(os.environ.get("BENCH_DT", "0") or 0.2 / n_steps)
+    dt = float(os.environ.get("BENCH_DT") or 0.2 / n_steps)
     w_dtype = jnp.float32 if DTYPE == "float32" else None
     x0 = jnp.asarray(mesh.x)
     v = _integrate_mesh_velocity(mesh.x, disc.Bm, problem, mesh.bb_min,
