@@ -35,13 +35,27 @@ def interp_nodes(x, Bt):
     return out.reshape(E, dim, -1).transpose(0, 2, 1)
 
 
-def jacobians(x, Gm):
-    """J[E, Q, dim, dim] from nodes x[E, nm, dim], grad table Gm[Q, nm, dim]."""
+def jacobian_planes(x, Gm):
+    """Jacobian as per-entry planes ``J[d][b] -> [E, Q]``.
+
+    Avoids ever materializing an array whose minor axis has size ``dim``:
+    the TPU (8,128) tile pads the last dimension to 128, so a packed
+    ``[E, Q, dim, dim]`` Jacobian occupies ~42x its data in HBM when XLA
+    decides to allocate it (observed: a 36.7 GB compile-time OOM at
+    E=110k). One ``[nm, Q]`` matmul per reference column keeps every
+    intermediate's minor axis at Q."""
     A, E, dim = _nodes_matrix(x)
-    Q, nm, _ = Gm.shape
-    G2 = Gm.transpose(1, 0, 2).reshape(nm, Q * dim)
-    J = (A @ G2).reshape(E, dim, Q, dim)
-    return J.transpose(0, 2, 1, 3)                 # [E, Q, d, b]
+    cols = [(A @ Gm[:, :, b].T).reshape(E, dim, -1) for b in range(dim)]
+    return [[cols[b][:, d, :] for b in range(dim)] for d in range(dim)]
+
+
+def jacobians(x, Gm):
+    """J[E, Q, dim, dim] from nodes x[E, nm, dim], grad table Gm[Q, nm, dim].
+
+    Only for small/FA paths — the packed [E, Q, dim, dim] layout pads the
+    minor axis 42x if materialized; hot paths use jacobian_planes."""
+    Jp = jacobian_planes(x, Gm)
+    return jnp.stack([jnp.stack(row, -1) for row in Jp], -2)  # [E, Q, d, b]
 
 
 def det_adj(J):
@@ -147,26 +161,29 @@ def volume_detj_va(x, Gm, v_q, sign):
     cofactor columns are cross products of Jacobian columns. One pass over
     J instead of J -> adjJ -> contract — the remap-stage geometry is the
     reference's RHS-FOM bottleneck (remhos.cpp:1598-1676), and on TPU this
-    halves its HBM traffic."""
-    J = jacobians(x, Gm)                        # [E, Q, a(xyz), b(ref)]
-    dim = J.shape[-1]
+    halves its HBM traffic. Works on Jacobian PLANES (jacobian_planes) so
+    no intermediate carries a size-dim minor axis."""
+    dim = x.shape[-1]
     if dim == 1:
-        det = J[..., 0, 0]
-        return det, sign * v_q
+        Jp = jacobian_planes(x, Gm)
+        return Jp[0][0], sign * v_q
+    Jp = jacobian_planes(x, Gm)                 # [d][b] -> [E, Q]
+    vq = [v_q[..., d] for d in range(dim)]      # [E, Q] planes
     if dim == 2:
-        c0, c1 = J[..., 0], J[..., 1]           # columns
-        det = c0[..., 0] * c1[..., 1] - c1[..., 0] * c0[..., 1]
-        rot = lambda t: jnp.stack([t[..., 1], -t[..., 0]], -1)
-        va0 = (v_q * rot(c1)).sum(-1)
-        va1 = -(v_q * rot(c0)).sum(-1)
+        # cof columns: k0 = ( J[1][1], -J[1][0]),  k1 = (-J[0][1], J[0][0])
+        det = Jp[0][0] * Jp[1][1] - Jp[0][1] * Jp[1][0]
+        va0 = vq[0] * Jp[1][1] - vq[1] * Jp[0][1]
+        va1 = -vq[0] * Jp[1][0] + vq[1] * Jp[0][0]
         return det, sign * jnp.stack([va0, va1], -1)
-    c0, c1, c2 = J[..., 0], J[..., 1], J[..., 2]
-    k0 = jnp.cross(c1, c2)
-    k1 = jnp.cross(c2, c0)
-    k2 = jnp.cross(c0, c1)
-    det = (c0 * k0).sum(-1)
-    va = jnp.stack([(v_q * k0).sum(-1), (v_q * k1).sum(-1),
-                    (v_q * k2).sum(-1)], -1)
+    # dim == 3: cof(J)[:, b] = J[:, b+1] x J[:, b+2] (columns, cyclic)
+    def cross_cols(b1, b2):
+        return [Jp[(d + 1) % 3][b1] * Jp[(d + 2) % 3][b2]
+                - Jp[(d + 1) % 3][b2] * Jp[(d + 2) % 3][b1]
+                for d in range(3)]
+    k = [cross_cols((b + 1) % 3, (b + 2) % 3) for b in range(3)]
+    det = sum(Jp[d][0] * k[0][d] for d in range(3))
+    va = jnp.stack([sum(vq[d] * k[b][d] for d in range(3))
+                    for b in range(3)], -1)
     return det, sign * va
 
 
