@@ -192,9 +192,10 @@ def fused_bytes_per_stage(adv):
     """Analytic HBM bytes per RK stage on the fused mega-kernel path.
 
     Per stage the device moves (f32, exact operand/result sizes):
-      kernel reads   P [E, nseg*S] poly geometry + u + u_nbr + x_min/x_max
+      kernel reads   P [E, nseg*S] poly geometry + u + u_nbr + the
+                     element-class bounds stencil 2x[E, 3^dim]
       kernel writes  du [E, nd]
-      glue           gather_nbr (r u, w u_nbr), bounds (r u, w 2x[E,nd]),
+      glue           gather_nbr (r u, w u_nbr), bounds (r u, w stencil),
                      RK combine (r u, du, u_prev; w u)
     Returns 0 when the fused path is off (cost analysis is then valid)."""
     if not getattr(adv, "_fused_stage", False) or \
@@ -204,10 +205,11 @@ def fused_bytes_per_stage(adv):
     nd = int(adv.Bu.shape[1])
     p_cols = int(adv._poly["P"].shape[1])
     nbr = int(adv.bdr_dofs.shape[0]) * int(adv.bdr_dofs.shape[1])
+    bcols = 3 ** adv.disc.dim          # bounds stencil (in-kernel EXP)
     item = jnp.dtype(adv.dtype or jnp.float64).itemsize
-    cols = (p_cols + nd + nbr + 2 * nd + nd      # kernel r/w
+    cols = (p_cols + nd + nbr + 2 * bcols + nd   # kernel r/w
             + nd + nbr                            # gather_nbr
-            + nd + 2 * nd                         # bounds
+            + nd + 2 * bcols                      # bounds
             + 4 * nd)                             # RK axpy r/w
     return int(item) * E * cols
 

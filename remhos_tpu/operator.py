@@ -375,6 +375,21 @@ class Advection:
         return bnd.compute_bounds(el_min, el_max, self.disc.dofmaps,
                                   self.cfg.bounds_type, active_el=active_el)
 
+    def compute_bounds_stencil(self, el_min, el_max):
+        """Element-class overlap-bounds stencil [E, 3^dim] for the mega
+        kernel's in-kernel per-dof expansion: the same separable pass as
+        compute_bounds but with 3 classes per axis (low endpoint /
+        interior / high endpoint) instead of p+1 dof positions — the
+        per-dof values are recovered exactly by the one-hot EXP table
+        (stage_ho_tables). None -> caller falls back to per-dof bounds.
+        The sharded operator overrides this with its halo exchanges."""
+        mesh = self.disc.mesh
+        if not (self.cfg.bounds_type == 0
+                and getattr(mesh, "structured", True)):
+            return None
+        return strm.overlap_bounds_structured(
+            el_min, el_max, mesh.shape, mesh.periodic, 2)
+
     def bind_poly(self, fn):
         """jit `fn(*args)` with the polynomial geometry tables passed as a
         RUNTIME argument. Closing over the eager device arrays would make
@@ -669,11 +684,16 @@ class Advection:
         from .ops import pallas_kernels as pk
         u = S[0]
         el_min, el_max = bnd.elements_min_max(u)
-        x_min, x_max = self.compute_bounds(el_min, el_max)
+        stencil = self.compute_bounds_stencil(el_min, el_max)
+        if stencil is not None:
+            x_min, x_max = stencil
+        else:
+            x_min, x_max = self.compute_bounds(el_min, el_max)
         u_nbr = self.gather_nbr(u).reshape(u.shape[0], -1)
         du = pk.fused_stage_mega_poly(t, dt, u, u_nbr, x_min, x_max,
                                       self._poly, self._stage_tables,
-                                      dim=self.disc.dim, mode=1.0)
+                                      dim=self.disc.dim, mode=1.0,
+                                      bounds_stencil=stencil is not None)
         ratio = jnp.asarray(jnp.inf, S.dtype)
         return jnp.stack([du]), self._aux(ratio, jnp.zeros((), jnp.int32))
 

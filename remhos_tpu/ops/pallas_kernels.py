@@ -440,16 +440,44 @@ def stage_ho_tables(disc, dtype):
                         axis=1)                           # [nd, (dim+1)*S]
 
     J = lambda a: jnp.asarray(a, dtype)
-    return dict(XT=J(XT), VT=J(VT), UT=J(UT),
-                Buw=J(padr(Buw)), wq=J(padc(wq)),
-                BD=J(padc(BD)), SB=J(padr(SB)),
-                A=J(disc.A_gl2b), AT=J(np.asarray(disc.A_gl2b).T),
-                BglT=J(padc(np.asarray(disc.Bgl).T)),
-                Bgl=J(padr(disc.Bgl)),
-                Bgl2=J(padr(np.asarray(disc.Bgl) * np.asarray(disc.Bgl))),
-                BuT=J(padc(np.asarray(disc.Bu).T)),
-                BuP=J(padr(np.asarray(disc.Bu))),
-                seg=S, Q=Q)
+    out = dict(XT=J(XT), VT=J(VT), UT=J(UT),
+               Buw=J(padr(Buw)), wq=J(padc(wq)),
+               BD=J(padc(BD)), SB=J(padr(SB)),
+               A=J(disc.A_gl2b), AT=J(np.asarray(disc.A_gl2b).T),
+               BglT=J(padc(np.asarray(disc.Bgl).T)),
+               Bgl=J(padr(disc.Bgl)),
+               Bgl2=J(padr(np.asarray(disc.Bgl) * np.asarray(disc.Bgl))),
+               BuT=J(padc(np.asarray(disc.Bu).T)),
+               BuP=J(padr(np.asarray(disc.Bu))),
+               seg=S, Q=Q)
+    if dtype == jnp.float32:
+        # bf16 hi/lo split tables ([2, rows, cols]) for the 3-pass RHS
+        # dots in _poly_stage_core (dot3). f64 mode never builds them.
+        def s3(a):
+            a32 = jnp.asarray(a, jnp.float32)
+            hi = a32.astype(jnp.bfloat16)
+            lo = (a32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.stack([hi, lo])
+        out.update(UT3=s3(UT), Buw3=s3(padr(Buw)), BD3=s3(padc(BD)),
+                   SB3=s3(padr(SB)),
+                   BglT3=s3(padc(np.asarray(disc.Bgl).T)),
+                   Bgl3=s3(padr(disc.Bgl)))
+    # one-hot class->dof expansion for the element-class bounds stencil
+    # ([E, 3^dim] -> [E, nd] inside the mega kernel): per axis a dof is
+    # class 0 (GLL endpoint seeing the low neighbor), 1 (interior), or 2
+    # (endpoint seeing the high neighbor). Exact under matmul: each row
+    # sums exactly one product 1.0 * v.
+    n1 = round(nd ** (1.0 / dim))
+    cls = lambda k: 0 if k == 0 else (2 if k == n1 - 1 else 1)
+    EXP = np.zeros((3 ** dim, nd))
+    for i in range(nd):
+        ks = [(i // n1 ** a) % n1 for a in range(dim)]     # kx, ky, kz
+        col = 0
+        for a in reversed(range(dim)):
+            col = col * 3 + cls(ks[a])
+        EXP[col, i] = 1.0
+    out["EXP"] = J(EXP)
+    return out
 
 
 def _pick_block(E, target):
@@ -474,9 +502,9 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
     S = tables["seg"]
     Q = tables["Q"]
     if n_cg is None:
-        # Jacobi contraction ~2.5e-3/sweep (see kernel): 2 sweeps leave
-        # ~1.6e-8 relative error (below the f32 floor), 8 reach f64
-        n_cg = 2 if dtype == jnp.float32 else 8
+        # Jacobi contraction ~2.5e-3/sweep (see kernel): 1 sweep leaves
+        # ~6e-6 relative error (below the f32-input floor), 8 reach f64
+        n_cg = 1 if dtype == jnp.float32 else 8
     if block_e is None:
         # ~16 live [be, S] scratch arrays; keep them within ~12 MB of the
         # 16 MB scoped VMEM (be=512 for p=3/S=256 f32, smaller for p=4)
@@ -547,7 +575,7 @@ def fused_stage_ho(xs, v, u, u_nbr_flat, tables, *, mode, n_cg=None,
 _EPS_CS = 1.0e-15   # ClipScale rescale guard (remhos_fct.cpp:486)
 
 
-def _poly_stage_core(t, u, unbr, P, T, *, dim, mode, n_cg, seg,
+def _poly_stage_core(t, u, unbr, P, T, T3=None, *, dim, mode, n_cg, seg,
                      nkv, nkd, nkn):
     """Shared in-VMEM math of the polynomial-geometry stage solve: no
     J/cofactor/tangent compute — geometry enters as t-polynomial
@@ -562,6 +590,35 @@ def _poly_stage_core(t, u, unbr, P, T, *, dim, mode, n_cg, seg,
     def dot(a, b, prec=HI):
         return jnp.dot(a, b, preferred_element_type=dtype, precision=prec)
 
+    # bf16x3 3-pass dots for the WELL-CONDITIONED RHS contractions (grad/
+    # face interpolation of u, the weighted-divergence and face-scatter
+    # maps): both operands split into bf16 hi+lo, three single-pass MXU
+    # dots (a_hi b_hi + a_hi b_lo + a_lo b_hi, f32 accumulation) instead
+    # of HIGHEST's six — relative accuracy ~1.5e-5, 50x below the f32-
+    # input accuracy floor (~7e-4, docs/PERF.md). NOT used for the
+    # Bernstein<->GL basis changes (A/AT/Bgl: kappa ~ 4.3e4 — bf16-class
+    # products there produced O(10) du errors in round 2) nor for the
+    # conservation-critical LO/lumped-mass dots. Gates: 320-step mass
+    # drift (4e-8/step) + the 2-step f32-vs-f64 cross check in the bench.
+    # Tables arrive pre-split ([2, rows, cols] bf16, stage_ho_tables);
+    # only f32 mode builds them (T3 is None in f64 -> HIGHEST path).
+    def dot3(a, b3_ref):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(dtype)).astype(jnp.bfloat16)
+        bh, bl = b3_ref[0], b3_ref[1]
+        # explicit DEFAULT: the global jax_default_matmul_precision=f32
+        # would request an fp32 contract on bf16 inputs (Mosaic rejects)
+        d = lambda x, y: jnp.dot(x, y, preferred_element_type=dtype,
+                                 precision=jax.lax.Precision.DEFAULT)
+        return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+    def cdot(a, key):
+        """RHS contraction: bf16x3 when split tables are present (f32
+        production mode), HIGHEST otherwise (f64 / no-split)."""
+        if T3 is not None:
+            return dot3(a, T3[key + "3"])
+        return dot(a, T[key][:])
+
     def sg(M, k):
         return M[:, k * S:(k + 1) * S]
 
@@ -571,7 +628,7 @@ def _poly_stage_core(t, u, unbr, P, T, *, dim, mode, n_cg, seg,
             acc = sg(M, k) + t * acc
         return acc
 
-    U = dot(u, T["UT"][:])
+    U = cdot(u, "UT")
     off_wd = nkv * dim
     off_vn = off_wd + nkd
     du_q = None
@@ -579,13 +636,13 @@ def _poly_stage_core(t, u, unbr, P, T, *, dim, mode, n_cg, seg,
         va_b = horner(P, [k * dim + b for k in range(nkv)])
         g_b = sg(U, b)
         du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
-    Ku = dot(mode * du_q, T["Buw"][:])
+    Ku = cdot(mode * du_q, "Buw")
     wdet = horner(P, [off_wd + k for k in range(nkd)])
 
     vn = horner(P, [off_vn + k for k in range(nkn)])
     up = jnp.maximum(0.0, mode * vn)
-    diff_q = dot(unbr, T["BD"][:]) - sg(U, dim)
-    Ku = Ku + dot(up * diff_q, T["SB"][:])
+    diff_q = cdot(unbr, "BD") - sg(U, dim)
+    Ku = Ku + cdot(up * diff_q, "SB")
 
     if n_cg == 0:
         return Ku, wdet
@@ -599,6 +656,13 @@ def _poly_stage_core(t, u, unbr, P, T, *, dim, mode, n_cg, seg,
     Bgl = T["Bgl"][:]
 
     def amul(g):
+        # the GL mass apply is well-conditioned (kappa(diag-scaled M_GL)
+        # ~ 1.005): bf16x3 here perturbs the Jacobi iterate by ~1.5e-5,
+        # which the AT transform amplifies to at most ~4e-3 absolute on
+        # du — bounded by the bench's f32-vs-f64 cross check
+        if T3 is not None:
+            gq = dot3(g, T3["BglT3"])
+            return dot3(gq * wdet, T3["Bgl3"])
         return dot(dot(g, BglT) * wdet, Bgl)
 
     x = inv_diag * b_
@@ -622,17 +686,25 @@ def _mass_based_avg_core(u, du, dt, wdet, BuT_ref):
 def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
                           UT_ref, Buw_ref, BD_ref, SB_ref,
                           A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
-                          BuT_ref, out_ref, wdet_ref, lo_ref=None, *, dim,
-                          mode, n_cg, seg, nkv, nkd, nkn, with_lo):
+                          BuT_ref, *rest, dim,
+                          mode, n_cg, seg, nkv, nkd, nkn, with_lo,
+                          with_t3=False):
     """(du_HO, wdet[, du_LO]) outputs of the polynomial stage solve.
     with_lo additionally emits the MassBasedAvg LO solution — valid only
     when the caller's du_HO is this kernel's unmodified output (the
-    standard-RK stage path)."""
+    standard-RK stage path). with_t3: 4 extra bf16 hi/lo split-table
+    inputs precede the outputs (see _poly_stage_core's dot3)."""
     T = dict(UT=UT_ref, Buw=Buw_ref, BD=BD_ref, SB=SB_ref, A=A_ref,
              AT=AT_ref, BglT=BglT_ref, Bgl=Bgl_ref, Bgl2=Bgl2_ref)
+    T3 = None
+    if with_t3:
+        T3 = dict(zip(("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3"), rest[:6]))
+        rest = rest[6:]
+    out_ref, wdet_ref = rest[0], rest[1]
+    lo_ref = rest[2] if with_lo else None
     u = u_ref[:]
     du, wdet = _poly_stage_core(t_ref[0, 0], u, unbr_ref[:], P_ref[:], T,
-                                dim=dim, mode=mode, n_cg=n_cg, seg=seg,
+                                T3, dim=dim, mode=mode, n_cg=n_cg, seg=seg,
                                 nkv=nkv, nkd=nkd, nkn=nkn)
     out_ref[:] = du
     wdet_ref[:] = wdet
@@ -646,8 +718,8 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
 def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
                        UT_ref, Buw_ref, BD_ref, SB_ref,
                        A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
-                       BuT_ref, BuP_ref, out_ref, *, dim, mode, n_cg, seg,
-                       nkv, nkd, nkn):
+                       BuT_ref, BuP_ref, *rest, dim, mode, n_cg, seg,
+                       nkv, nkd, nkn, with_t3=False, with_exp=False):
     """The FULL limited stage in one kernel: HO solve + MassBasedAvg LO +
     lumped mass + ClipScale FCT (remhos_fct.cpp:484-539). Emits ONLY the
     limited du — du_HO/du_LO/wdet never touch HBM. Valid on the
@@ -656,10 +728,18 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
     depend on u only, so the caller computes them before the kernel)."""
     T = dict(UT=UT_ref, Buw=Buw_ref, BD=BD_ref, SB=SB_ref, A=A_ref,
              AT=AT_ref, BglT=BglT_ref, Bgl=Bgl_ref, Bgl2=Bgl2_ref)
+    T3 = None
+    if with_t3:
+        T3 = dict(zip(("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3"), rest[:6]))
+        rest = rest[6:]
+    EXP_ref = None
+    if with_exp:
+        EXP_ref, rest = rest[0], rest[1:]
+    out_ref = rest[0]
     u = u_ref[:]
     dt = t_ref[0, 1]
     du, wdet = _poly_stage_core(t_ref[0, 0], u, unbr_ref[:], P_ref[:], T,
-                                dim=dim, mode=mode, n_cg=n_cg, seg=seg,
+                                T3, dim=dim, mode=mode, n_cg=n_cg, seg=seg,
                                 nkv=nkv, nkd=nkd, nkn=nkn)
     du_lo = _mass_based_avg_core(u, du, dt, wdet, BuT_ref)
     HI = jax.lax.Precision.HIGHEST
@@ -670,9 +750,19 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
     # mass-conserving rescale (remhos_fct.cpp:484-539). Padded lanes have
     # ml == 0 -> f == 0 there, so the row sums are exact; the final
     # division puts NaN only in lanes the block store discards.
+    if with_exp:
+        # element-class bounds stencil [TE, 3^dim] -> per-dof [TE, nd]
+        # via the exact one-hot expansion (stage_ho_tables EXP)
+        hx = jax.lax.Precision.HIGHEST
+        x_min = jnp.dot(xmin_ref[:], EXP_ref[:],
+                        preferred_element_type=u.dtype, precision=hx)
+        x_max = jnp.dot(xmax_ref[:], EXP_ref[:],
+                        preferred_element_type=u.dtype, precision=hx)
+    else:
+        x_min, x_max = xmin_ref[:], xmax_ref[:]
     u_new_lo = u + dt * du_lo
-    f_min = ml / dt * (xmin_ref[:] - u_new_lo)
-    f_max = ml / dt * (xmax_ref[:] - u_new_lo)
+    f_min = ml / dt * (x_min - u_new_lo)
+    f_max = ml / dt * (x_max - u_new_lo)
     f = ml * (du - du_lo)
     f = jnp.minimum(f_max, jnp.maximum(f_min, f))
 
@@ -695,8 +785,11 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
     S = tables["seg"]
     Q = tables["Q"]
     if n_cg is None:
-        # Jacobi contraction ~2.5e-3/sweep: 2 sweeps -> ~1.6e-8 relative
-        n_cg = 2 if dtype == jnp.float32 else 8
+        # Jacobi contraction ~2.5e-3/sweep: the x0 = D^-1 b start is
+        # already within ~2.5e-3, so ONE sweep reaches ~6e-6 relative —
+        # at the bf16x3 amul noise floor (~1.5e-5); a second sweep buys
+        # nothing measurable (f32-vs-f64 cross check unchanged at 2.7e-6)
+        n_cg = 1 if dtype == jnp.float32 else 8
     if block_e is None:
         # the poly operand blocks are fat ([be, (2 dim + 3) S] + scratch,
         # double-buffered): small blocks overlap the streaming reads best
@@ -707,10 +800,11 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
     t_arr = jnp.stack([jnp.asarray(t, dtype),
                        jnp.asarray(0.0 if dt is None else dt, dtype)]
                       ).reshape(1, 2)
+    with_t3 = dtype == jnp.float32 and "UT3" in tables
     kern = functools.partial(_stage_ho_poly_kernel, dim=dim,
                              mode=float(mode), n_cg=n_cg, seg=S,
                              nkv=dim, nkd=dim + 1, nkn=dim,
-                             with_lo=with_lo)
+                             with_lo=with_lo, with_t3=with_t3)
     tb = tables
 
     def blk(a):
@@ -730,6 +824,8 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((E, nd), dtype))
 
+    t3_keys = (("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3")
+               if with_t3 else ())
     res = pl.pallas_call(
         kern,
         grid=(E // be,),
@@ -742,13 +838,14 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
             _rep(tb["A"].shape), _rep(tb["AT"].shape),
             _rep(tb["BglT"].shape), _rep(tb["Bgl"].shape),
             _rep(tb["Bgl2"].shape), _rep(tb["BuT"].shape),
-        ],
+        ] + [_rep(tb[k].shape) for k in t3_keys],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_auto_interpret(interpret),
     )(t_arr, u, u_nbr_flat, poly["P"],
       tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
-      tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"])
+      tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"],
+      *[tb[k] for k in t3_keys])
     du, wdet_p = res[0], res[1]
     if with_lo:
         return du, wdet_p[:, :Q], res[2]
@@ -757,32 +854,44 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
 
 def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
                           *, dim, mode, n_cg=None, block_e=None,
-                          interpret=None):
+                          interpret=None, bounds_stencil=False):
     """du_limited[E, nd]: the complete -ho 3 -lo 5 -fct 2 stage (HO solve,
     MassBasedAvg LO, lumped mass, ClipScale) in ONE kernel. Only the
     limited du reaches HBM; the per-dof bounds (functions of u alone) are
-    computed by the caller and enter as operands."""
+    computed by the caller and enter as operands — per-dof [E, nd], or
+    with bounds_stencil=True the element-class stencil [E, 3^dim]
+    expanded in-kernel (overlap_bounds_structured with 3 classes/axis;
+    2.4x less bounds traffic at p=3)."""
     E, nd = u.shape
     dtype = u.dtype
     S = tables["seg"]
+    with_exp = bool(bounds_stencil)
+    assert not with_exp or x_min.shape[1] == 3 ** dim
     if n_cg is None:
-        # Jacobi contraction ~2.5e-3/sweep: 2 sweeps -> ~1.6e-8 relative
-        n_cg = 2 if dtype == jnp.float32 else 8
+        # Jacobi contraction ~2.5e-3/sweep: the x0 = D^-1 b start is
+        # already within ~2.5e-3, so ONE sweep reaches ~6e-6 relative —
+        # at the bf16x3 amul noise floor (~1.5e-5); a second sweep buys
+        # nothing measurable (f32-vs-f64 cross check unchanged at 2.7e-6)
+        n_cg = 1 if dtype == jnp.float32 else 8
     if block_e is None:
         budget = 90_000 if dtype == jnp.float32 else 45_000
         block_e = max(64, min(128, budget // S))
     be = _pick_block(E, block_e)
     t_arr = jnp.stack([jnp.asarray(t, dtype), jnp.asarray(dt, dtype)]
                       ).reshape(1, 2)
+    with_t3 = dtype == jnp.float32 and "UT3" in tables
     kern = functools.partial(_stage_mega_kernel, dim=dim, mode=float(mode),
                              n_cg=n_cg, seg=S, nkv=dim, nkd=dim + 1,
-                             nkn=dim)
+                             nkn=dim, with_t3=with_t3, with_exp=with_exp)
     tb = tables
 
     def blk(a):
         return pl.BlockSpec((be, a.shape[1]), lambda i: (i, i * 0),
                             memory_space=pltpu.VMEM)
 
+    t3_keys = (("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3")
+               if with_t3 else ())
+    exp_ops = [tb["EXP"]] if with_exp else []
     return pl.pallas_call(
         kern,
         grid=(E // be,),
@@ -797,7 +906,8 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
             _rep(tb["BglT"].shape), _rep(tb["Bgl"].shape),
             _rep(tb["Bgl2"].shape), _rep(tb["BuT"].shape),
             _rep(tb["BuP"].shape),
-        ],
+        ] + [_rep(tb[k].shape) for k in t3_keys]
+          + [_rep(a.shape) for a in exp_ops],
         out_specs=pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((E, nd), dtype),
@@ -805,7 +915,7 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
     )(t_arr, u, u_nbr_flat, poly["P"], x_min, x_max,
       tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
       tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"],
-      tb["BuP"])
+      tb["BuP"], *[tb[k] for k in t3_keys], *exp_ops)
 
 
 def build_poly_tables(x0, v, disc, dtype=None):

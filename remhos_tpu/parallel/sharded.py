@@ -209,6 +209,11 @@ class ShardedAdvection(Advection):
         if self.cfg.bounds_type == 1:
             return self._sparsity_bounds_halo(el_min, el_max, active_el)
 
+        return strm.overlap_bounds_structured(
+            el_min, el_max, mesh.shape, mesh.periodic, self.disc.p,
+            active_el=active_el, axis_exchanges=self._bounds_exchanges())
+
+    def _bounds_exchanges(self):
         axis_exchanges = {}
         for mesh_axis, name, n in self.axes_spec:
             def make_fn(name=name, n=n):
@@ -216,9 +221,17 @@ class ShardedAdvection(Advection):
             axis_exchanges[mesh_axis] = (
                 make_fn(),
                 self._edges(name, n, self.periodic_global[mesh_axis]))
+        return axis_exchanges
+
+    def compute_bounds_stencil(self, el_min, el_max):
+        """Element-class stencil with the same cross-shard slab exchanges
+        as compute_bounds (3 classes per axis; see the base class)."""
+        mesh = self.disc.mesh
+        if self.cfg.bounds_type != 0:
+            return None
         return strm.overlap_bounds_structured(
-            el_min, el_max, mesh.shape, mesh.periodic, self.disc.p,
-            active_el=active_el, axis_exchanges=axis_exchanges)
+            el_min, el_max, mesh.shape, mesh.periodic, 2,
+            axis_exchanges=self._bounds_exchanges())
 
     def _sparsity_bounds_halo(self, el_min, el_max, active_el):
         from .. import bounds as bnd

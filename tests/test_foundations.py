@@ -290,3 +290,29 @@ def test_rk6_tableau_is_mfem_verner():
     e1 = np.abs(integrate(1 / 2) - ref).max()
     e2 = np.abs(integrate(1 / 4) - ref).max()
     assert e1 / e2 > 50.0   # 2^6 = 64 up to higher-order terms
+
+
+def test_bounds_stencil_expansion_exact():
+    """The element-class bounds stencil (overlap_bounds_structured with 3
+    classes/axis) expanded through the one-hot EXP table equals the
+    per-dof overlap bounds EXACTLY — the identity the mega stage kernel
+    relies on to stream [E, 3^dim] instead of [E, nd] bounds."""
+    from remhos_tpu import structured as strm
+    from remhos_tpu.ops import pallas_kernels as pk
+
+    cases = [(3, (4, 3, 2), 3, (False,) * 3),
+             (3, (4, 4, 4), 2, (True,) * 3),
+             (2, (5, 4), 3, (False, True)),
+             (3, (3, 3, 3), 1, (False,) * 3)]
+    rng = np.random.default_rng(7)
+    for dim, shape, p, per in cases:
+        m = make_cartesian_mesh(dim, shape, (0,) * dim, (1,) * dim, per)
+        disc = build_discretization(m, p)
+        E = int(np.prod(shape))
+        el_min = jnp.asarray(rng.standard_normal(E))
+        el_max = el_min + jnp.asarray(rng.random(E))
+        ref = strm.overlap_bounds_structured(el_min, el_max, shape, per, p)
+        st = strm.overlap_bounds_structured(el_min, el_max, shape, per, 2)
+        EXP = np.asarray(pk.stage_ho_tables(disc, None)["EXP"])
+        for got, want in zip(st, ref):
+            assert np.array_equal(np.asarray(got) @ EXP, np.asarray(want))
