@@ -57,49 +57,57 @@ def _edge_mask(E, shape, axis, side):
     return jnp.asarray(m.reshape(E))
 
 
-def _face_slice_pattern(dim, n1, axis, side):
-    """Lex dof ids of the NEIGHBOR's shared face (its opposite side) in
-    C-flatten order of the remaining dof axes — the order a pure reshape+
-    slice produces. Matches dofmaps.nbr_dof_local on conforming structured
-    grids, letting the gather below be a slice instead of an index gather
-    (index gathers of the dof axis cost ~0.3 ms/stage at the bench size;
-    slices are free)."""
-    idx = np.arange(n1 ** dim).reshape((n1,) * dim)   # axes (z, ..., x)
-    pos = dim - 1 - axis
-    take = 0 if side == 1 else n1 - 1
-    return np.take(idx, take, axis=pos).reshape(-1)
+_FACE_GATHER_CACHE = {}
+
+
+def _face_gather_matrix(nbr_np, nd):
+    """One-hot [nd, nf*fd] extracting every face's neighbor-side dofs in
+    ONE matmul (exact: each output sums a single 1.0*v product). The
+    per-face strided dof takes relayout [E, fd] slices six times on TPU
+    (~4x slower than this dot, measured)."""
+    key = (nbr_np.tobytes(), nd)
+    G = _FACE_GATHER_CACHE.get(key)
+    if G is None:
+        nf, fd = nbr_np.shape
+        G = np.zeros((nd, nf * fd))
+        for f in range(nf):
+            G[nbr_np[f], np.arange(f * fd, (f + 1) * fd)] = 1.0
+        _FACE_GATHER_CACHE[key] = G
+    return G
 
 
 def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
                           bdr_value=None, halo=None):
-    """u_nbr_face[E, nf, fd] via rolls (ExchangeFaceNbrData equivalent).
+    """u_nbr_face[E, nf, fd] via one one-hot matmul + per-face-block
+    rolls (ExchangeFaceNbrData equivalent).
 
     halo: optional dict {face_index: slab [nslab, fd]} overriding the edge
     along the (sharded) last mesh axis; entries may be None (physical edge).
     """
     dim = len(shape)
     E, nd = u.shape
-    n1 = round(nd ** (1.0 / dim))
     grid_shape = tuple(reversed(shape))
-    ug = u.reshape(grid_shape + (nd,))
-    ug5 = (u.reshape(grid_shape + (n1,) * dim)
-           if n1 ** dim == nd else None)
     try:
         nbr_np = np.asarray(nbr_dof_local)   # traced under shard_map ->
     except jax.errors.TracerArrayConversionError:
         nbr_np = None                        # keep the gather path
     faces = faces_for_dim(dim)
+    nf = len(faces)
+    if nbr_np is not None:
+        fd = nbr_np.shape[1]
+        G = jnp.asarray(_face_gather_matrix(nbr_np, nd), u.dtype)
+        # HIGHEST: exact for a one-hot matrix (single product per output);
+        # DEFAULT would round the values through bf16
+        uf = jnp.dot(u, G, precision=jax.lax.Precision.HIGHEST)
+        ug = uf.reshape(grid_shape + (nf * fd,))
+        face_vals = [ug[..., f * fd:(f + 1) * fd] for f in range(nf)]
+    else:
+        ug = u.reshape(grid_shape + (nd,))
+        face_vals = [ug[..., nbr_dof_local[f]] for f in range(nf)]
     outs = []
     for f, (axis, side) in enumerate(faces):
         gdim = _grid_dim(dim, axis)
-        if ug5 is not None and nbr_np is not None and np.array_equal(
-                nbr_np[f], _face_slice_pattern(dim, n1, axis, side)):
-            pos = dim - 1 - axis
-            take = 0 if side == 1 else n1 - 1
-            vals = jnp.take(ug5, take, axis=dim + pos)
-            vals = vals.reshape(grid_shape + (-1,))         # [*grid, fd]
-        else:
-            vals = ug[..., nbr_dof_local[f]]                # [*grid, fd]
+        vals = face_vals[f]                                 # [*grid, fd]
         if halo is not None and f in halo:
             # caller pre-masks the slab (cross-shard value or physical
             # edge); slab shape = the grid edge slice (any sharded axis)
