@@ -76,6 +76,35 @@ def _face_gather_matrix(nbr_np, nd):
     return G
 
 
+def face_rolls(face_vals, shape, periodic, bdr_value=None, halo=None):
+    """Roll per-face value blocks to their neighbor elements.
+
+    face_vals: list of nf arrays [*grid, fd] (face-major own-side values,
+    e.g. slices of a one-hot face gather). Returns list of nf [E, fd]
+    neighbor-value arrays with 0-filled (or bdr_value / halo-slab)
+    physical edges."""
+    dim = len(shape)
+    E = int(np.prod(shape))
+    faces = faces_for_dim(dim)
+    outs = []
+    for f, (axis, side) in enumerate(faces):
+        gdim = _grid_dim(dim, axis)
+        vals = face_vals[f]                                 # [*grid, fd]
+        if halo is not None and f in halo:
+            # caller pre-masks the slab (cross-shard value or physical
+            # edge); slab shape = the grid edge slice (any sharded axis)
+            nb = _shift(vals, gdim, side, False, edge_slab=halo[f])
+            nb = nb.reshape(E, -1)
+        else:
+            nb = _shift(vals, gdim, side, periodic[axis], fill=0.0)
+            nb = nb.reshape(E, -1)
+            if not periodic[axis] and bdr_value is not None:
+                edge = _edge_mask(E, shape, axis, side)
+                nb = jnp.where(edge[:, None], bdr_value[:, f], nb)
+        outs.append(nb)
+    return outs
+
+
 def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
                           bdr_value=None, halo=None):
     """u_nbr_face[E, nf, fd] via one one-hot matmul + per-face-block
@@ -104,22 +133,8 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
     else:
         ug = u.reshape(grid_shape + (nd,))
         face_vals = [ug[..., nbr_dof_local[f]] for f in range(nf)]
-    outs = []
-    for f, (axis, side) in enumerate(faces):
-        gdim = _grid_dim(dim, axis)
-        vals = face_vals[f]                                 # [*grid, fd]
-        if halo is not None and f in halo:
-            # caller pre-masks the slab (cross-shard value or physical
-            # edge); slab shape = the grid edge slice (any sharded axis)
-            nb = _shift(vals, gdim, side, False, edge_slab=halo[f])
-            nb = nb.reshape(E, -1)
-        else:
-            nb = _shift(vals, gdim, side, periodic[axis], fill=0.0)
-            nb = nb.reshape(E, -1)
-            if not periodic[axis] and bdr_value is not None:
-                edge = _edge_mask(E, shape, axis, side)
-                nb = jnp.where(edge[:, None], bdr_value[:, f], nb)
-        outs.append(nb)
+    outs = face_rolls(face_vals, shape, periodic, bdr_value=bdr_value,
+                      halo=halo)
     return jnp.stack(outs, axis=1)
 
 
