@@ -357,7 +357,10 @@ def main_dual():
     result["f64_vs_baseline"] = f64.get("vs_baseline", 0.0)
     result["f64_mass_rel_loss"] = f64.get("mass_rel_loss", None)
 
-    if _env_on("BENCH_SWEEP"):
+    # default ON: the recorded artifact carries the size/order sweep
+    # (partial records are printed incrementally, so a timeout still
+    # leaves the completed legs in the last JSON line)
+    if _env_on("BENCH_SWEEP", "1"):
         # size/order sweep (verified f32 points, shorter loops): where
         # does throughput plateau vs problem size, and the BASELINE.md
         # p=4 target at scale. (N, p) of the main legs are reused.
