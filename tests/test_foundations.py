@@ -316,3 +316,51 @@ def test_bounds_stencil_expansion_exact():
         EXP = np.asarray(pk.stage_ho_tables(disc, None)["EXP"])
         for got, want in zip(st, ref):
             assert np.array_equal(np.asarray(got) @ EXP, np.asarray(want))
+
+
+def test_compensated_rk_matches_plain():
+    """compensated=True must reproduce the plain combine to round-off on
+    every RK kind and remove f32 accumulation bias on a long run."""
+    import jax
+    from remhos_tpu import steppers
+
+    def f(t, dt, u):
+        # stiff-ish linear decay + rotation-like coupling
+        du = -0.37 * u + 0.11 * jnp.roll(u, 1)
+        return du, jnp.asarray(jnp.inf, u.dtype)
+
+    u0 = jnp.asarray(np.linspace(0.3, 1.7, 64))
+    for kind in (1, 2, 3, 4, 6):
+        plain = steppers.make_rk_step(f, kind)
+        comp = steppers.make_rk_step(f, kind, compensated=True)
+        u1, _ = plain(u0, 0.0, 0.01)
+        u2, c2, _ = comp(u0, jnp.zeros_like(u0), 0.0, 0.01)
+        # increment-form combine == nested combine to round-off (f64)
+        assert float(jnp.abs(u1 - u2).max()) < 1e-14, kind
+
+    # f32 long-run accumulation: compensated tracks the f64 trajectory's
+    # SUM far better than the plain combine (the Kahan carry removes the
+    # per-step rounding bias of u += delta)
+    def run(kind, compensated, dtype, n=4000):
+        u = u0.astype(dtype)
+        c = jnp.zeros_like(u)
+        step = steppers.make_rk_step(f, kind, compensated=compensated)
+        dt = jnp.asarray(2e-4, dtype)
+
+        def body(carry, _):
+            if compensated:
+                u, c = carry
+                u, c, _ = step(u, c, 0.0, dt)
+                return (u, c), ()
+            u, = carry
+            u, _ = step(u, 0.0, dt)
+            return (u,), ()
+        carry = (u, c) if compensated else (u,)
+        out, _ = jax.lax.scan(body, carry, None, length=n)
+        return np.asarray(out[0], np.float64)
+
+    ref = run(3, False, jnp.float64)
+    err_plain = abs(run(3, False, jnp.float32).sum() - ref.sum())
+    err_comp = abs(run(3, True, jnp.float32).sum() - ref.sum())
+    assert err_comp <= err_plain
+    assert err_comp < 1e-4 * abs(ref.sum())
