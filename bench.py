@@ -87,6 +87,18 @@ def _env_on(name, default="1"):
     return os.environ.get(name, default) not in ("0", "false", "")
 
 
+def _sync(x):
+    """Robust device sync: block_until_ready is a no-op for shard_map
+    outputs on the axon platform (measured: a 0.5 s loop 'completed' in
+    0.25 ms); a 1-element host transfer forces completion of the
+    producing computation on every backend."""
+    import numpy as np
+    jax.block_until_ready(x)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+    return x
+
+
 def build_case():
     from remhos_tpu import problems as prob
     from remhos_tpu import steppers
@@ -126,7 +138,9 @@ def build_case():
     # into the state (steppers.kahan_add), removing the systematic
     # ~3.7e-8/step f32 mass drift the plain combine's rounding bias caused
     step = steppers.make_rk_step(adv.stage_function(), 3, compensated=True)
-    return adv, adv64, step, jnp.stack([u0]), dt, use_pallas
+    ctx = dict(mesh=mesh, scfg=scfg, order=order, x0=x0, v=v,
+               w_dtype=w_dtype)
+    return adv, adv64, step, jnp.stack([u0]), dt, use_pallas, ctx
 
 
 def make_loop(step, dt, n_steps, adv):
@@ -233,21 +247,71 @@ def fused_bytes_per_stage(adv):
     return int(item) * E * cols
 
 
+def make_sharded_loop(ctx, S, dt, n_steps, n_dev):
+    """The SAME production loop under an n_dev-device shard_map (scan
+    inside, poly tables per dispatch): on the single real chip this
+    bounds the sharding overhead of the mega path (collective-permute
+    plumbing + halo-mode gathers) against the unsharded number."""
+    from remhos_tpu.parallel.sharded import make_sharded_step, shard_arrays
+    dev_mesh, sstep, perm = make_sharded_step(
+        ctx["mesh"], ctx["scfg"], ctx["order"], (n_dev,), 3,
+        dtype=ctx["w_dtype"], loop=n_steps)
+    infl = jnp.zeros_like(S[0])
+    S_sh, x0_sh, v_sh, infl_sh = shard_arrays(
+        dev_mesh, dev_mesh.axis_names, S, ctx["x0"], ctx["v"], infl,
+        perm=perm)
+
+    class _Loop:
+        def __call__(self, Sv, t0):
+            out, _ = sstep(Sv, t0, jnp.asarray(dt, S.dtype), x0_sh, v_sh,
+                           infl_sh)
+            return out
+
+        def lower(self, Sv, t0):
+            low = sstep.lower(Sv, t0, jnp.asarray(dt, S.dtype), x0_sh,
+                              v_sh, infl_sh)
+
+            class _L:
+                def compile(self):
+                    comp = low.compile()
+
+                    class _C:
+                        def __call__(self, Sv2, t02):
+                            out, _ = comp(Sv2, t02,
+                                          jnp.asarray(dt, S.dtype),
+                                          x0_sh, v_sh, infl_sh)
+                            return out
+
+                        def cost_analysis(self):
+                            return comp.cost_analysis()
+                    return _C()
+            return _L()
+
+    return _Loop(), S_sh, perm
+
+
 def main():
-    adv, adv64, step, S, dt, use_pallas = build_case()
+    adv, adv64, step, S, dt, use_pallas, ctx = build_case()
     ndofs = S.shape[1] * S.shape[2]
     n_steps = int(os.environ.get("BENCH_STEPS", "320"))
-    run_steps = make_loop(step, dt, n_steps, adv)
+    n_sharded = int(os.environ.get("BENCH_SHARDED", "0"))
+    if n_sharded:
+        run_steps, S, _perm = make_sharded_loop(ctx, S, dt, n_steps,
+                                                n_sharded)
+    else:
+        run_steps = make_loop(step, dt, n_steps, adv)
 
     compiled = run_steps.lower(S, jnp.asarray(0.0, S.dtype)).compile()
     ca = compiled.cost_analysis() or {}
-    S_w = compiled(S, jnp.asarray(0.0, S.dtype))
-    jax.block_until_ready(S_w)
+    S_w = _sync(compiled(S, jnp.asarray(0.0, S.dtype)))
 
-    t0 = time.perf_counter()
-    S_final = compiled(S, jnp.asarray(0.0, S.dtype))
-    jax.block_until_ready(S_final)
-    wall = time.perf_counter() - t0
+    # best-of-reps: single-run walls vary ~5-10% through the shared axon
+    # tunnel; the best of 3 is the honest device capability number
+    wall = float("inf")
+    for _ in range(max(1, int(os.environ.get("BENCH_REPS", "3")))):
+        t0 = time.perf_counter()
+        S_final = _sync(compiled(S, jnp.asarray(0.0, S.dtype)))
+        wall = min(wall, time.perf_counter() - t0)
 
     if os.environ.get("BENCH_CROSSDUMP"):
         import numpy as np
@@ -259,8 +323,8 @@ def main():
         extras["mass_rel_loss"] = round(
             verify(adv64, S, S_final, dt, n_steps), 12)
         if DTYPE == "float32" and _env_on("BENCH_CROSSCHECK"):
-            two = make_loop(step, dt, 2, adv)(S, jnp.asarray(0.0, S.dtype))
-            jax.block_until_ready(two)
+            two = _sync(make_loop(step, dt, 2, adv)(
+                S, jnp.asarray(0.0, S.dtype)))
             extras["f32_vs_f64_2step_rel"] = round(
                 cross_precision_check(two, dt), 8)
 
@@ -268,7 +332,8 @@ def main():
     fom = 1e-6 * ndofs * n_steps * stages / wall
     _P = os.environ.get("BENCH_P", "3")
     result = {
-        "metric": f"fom_total_p{_P}_3d_remap_pa_{_TAG}",
+        "metric": f"fom_total_p{_P}_3d_remap_pa_{_TAG}"
+                  + (f"_shardmap{n_sharded}" if n_sharded else ""),
         "ndofs": ndofs,
         "value": round(fom, 3),
         "unit": "MDOF*stages/s",
@@ -299,7 +364,7 @@ def main():
         result["hbm_gb_per_s_model"] = round(gbs, 1)
         result["hbm_util_model"] = round(gbs / PEAK_HBM_GBS, 4)
 
-    if _env_on("BENCH_PHASES"):
+    if _env_on("BENCH_PHASES") and not n_sharded:
         from remhos_tpu.utils.fom import measure_phases, print_fom_report
         # phases use a shorter loop (6 ablation levels x reps); the fixed
         # per-dispatch latency is measured separately inside and reported

@@ -240,7 +240,7 @@ def make_general_sharded_step(mesh, scfg, order: int, n_shards: int,
         step_local, mesh=dev_mesh,
         in_specs=(P(None, name), P(), P(), P(name), P(name), P(name),
                   P(name), P(name), P(name), P(name), P(name)),
-        out_specs=(P(None, name), P()))
+        out_specs=(P(None, name), P()), check_vma=False)
 
     ne_j = jnp.asarray(nbr_elem)
     nf_j = jnp.asarray(nbr_face)
