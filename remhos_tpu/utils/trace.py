@@ -1,0 +1,170 @@
+"""Device-trace capture + per-kernel attribution for the production loop.
+
+The reference attributes time with four in-solver stopwatches
+(remhos_tools.hpp:52-64, printed at remhos.cpp:1936-1952). On TPU the
+whole limited stage is ONE Pallas kernel, so host stopwatches can't see
+phases; instead this module captures a jax.profiler device trace of the
+REAL benched loop and reads
+
+- per-op DEVICE durations (hardware-measured, ~us resolution, stable to
+  ~1% across repeats vs ~5-10% host-wall jitter through the axon tunnel),
+- per-op `source` attribution (file:line of the jaxpr op),
+- XLA's actual buffer placement from the HLO long_name: operands whose
+  layout carries S(1) are VMEM(alternate-memory)-resident; untagged
+  operands stream from HBM. Summing untagged operand/result sizes of the
+  stage kernel gives a TRACE-DERIVED HBM byte count per kernel call —
+  XLA's placement, not the builder's byte model (round-3 verdict weak #2).
+
+Used by bench.py (BENCH_TRACE=1) to report kernel/glue time per stage,
+phase attribution by source, and hbm_gb_per_s_trace next to the model.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import re
+import tempfile
+
+
+def capture_trace(fn, tmpdir=None):
+    """Run fn() under jax.profiler.trace; return the parsed trace dict."""
+    import jax
+    d = tmpdir or tempfile.mkdtemp(prefix="remhos_trace_")
+    with jax.profiler.trace(d):
+        fn()
+    files = sorted(glob.glob(os.path.join(d, "plugins/profile/*/",
+                                          "*.trace.json.gz")))
+    if not files:
+        raise RuntimeError(f"no trace.json.gz produced under {d}")
+    with gzip.open(files[-1]) as f:
+        return json.load(f)
+
+
+def device_ops(trace):
+    """[(name, dur_us, args)] complete events on the device 'XLA Ops' lane."""
+    ev = trace.get("traceEvents", [])
+    # device pid: process_name metadata containing 'TPU' or 'device'
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "device" in str(e.get("args", {}).get("name", "")).lower()}
+    op_tids = {(e["pid"], e["tid"]) for e in ev
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e.get("args", {}).get("name") == "XLA Ops"}
+    out = []
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids
+                and (e["pid"], e.get("tid")) in op_tids):
+            out.append((e["name"], float(e.get("dur", 0.0)),
+                        e.get("args", {})))
+    return out
+
+
+_SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s32|u32|s8|u8|pred|s64|u64)"
+                       r"\[([\d,]*)\]\{([^}]*)\}")
+_ITEM = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+         "bf16": 2, "f16": 2, "s8": 1, "u8": 1, "pred": 1}
+
+
+def hbm_bytes_of_op(long_name):
+    """Sum byte sizes of shapes in an HLO long_name whose layout has NO
+    alternate-memory tag S(k) — i.e. the HBM-resident operands/results of
+    the op under XLA's chosen placement. Returns (hbm_bytes, all_bytes).
+
+    Only shapes with a REAL buffer layout (tiling spec `T(...)` present)
+    are counted: custom-call long_names repeat every operand shape a
+    second time in the layout-constraints metadata with a bare layout,
+    which would double-count."""
+    hbm = tot = 0
+    for m in _SHAPE_RE.finditer(long_name):
+        dt, dims, layout = m.groups()
+        if "T(" not in layout:
+            continue
+        n = 1
+        for p in dims.split(","):
+            if p:
+                n *= int(p)
+        b = n * _ITEM.get(dt, 4)
+        tot += b
+        if "S(" not in layout:
+            hbm += b
+    return hbm, tot
+
+
+def loop_report(trace, n_calls, stages_per_call):
+    """Attribute the device time of the traced loop.
+
+    n_calls: RK steps in the traced loop; stages_per_call: RK stages per
+    step. Returns a dict with per-STAGE seconds:
+      kernel      Pallas stage kernel(s) (hlo_category custom-call)
+      glue_*      non-kernel device ops bucketed by source file
+      total       sum of all device op durations
+    plus kernel_hbm_bytes (per kernel call, from XLA placement) and
+    bytes_accessed_glue (per stage, XLA per-op stats).
+    """
+    ops = device_ops(trace)
+    n_stages = n_calls * stages_per_call
+    buckets = {}
+    kernel_us = 0.0
+    kernel_hbm = 0
+    kernel_calls = 0
+    glue_hbm = 0.0
+    glue_bytes = 0.0
+    total_us = 0.0
+    module_us = 0.0
+    for name, dur, args in ops:
+        cat = args.get("hlo_category", "")
+        # the module/while wrappers double-count their children
+        if name.startswith(("while", "jit_", "body", "condition")):
+            module_us = max(module_us, dur)
+            continue
+        total_us += dur
+        if cat == "custom-call" and "custom-call" in args.get(
+                "long_name", name) or name.startswith(
+                ("closed_call", "custom-call")):
+            kernel_us += dur
+            kernel_calls += 1
+            hbm, _ = hbm_bytes_of_op(args.get("long_name", ""))
+            kernel_hbm = max(kernel_hbm, hbm)
+            continue
+        src = args.get("source", "")
+        base = os.path.basename(src.split(":")[0]) if src else "(xla)"
+        buckets[base] = buckets.get(base, 0.0) + dur
+        hbm, _ = hbm_bytes_of_op(args.get("long_name", ""))
+        glue_hbm += hbm
+        try:
+            glue_bytes += float(args.get("raw_bytes_accessed",
+                                         args.get("bytes_accessed", 0)))
+        except (TypeError, ValueError):
+            pass
+    stage_s = total_us * 1e-6 / max(n_stages, 1)
+    hbm_per_stage = (kernel_hbm * kernel_calls + glue_hbm) / max(n_stages, 1)
+    rep = {
+        "kernel_s_per_stage": kernel_us * 1e-6 / max(n_stages, 1),
+        "kernel_calls": kernel_calls,
+        "kernel_hbm_bytes": kernel_hbm,          # per kernel call
+        "glue_s_per_stage": (total_us - kernel_us) * 1e-6 / max(n_stages, 1),
+        "glue_hbm_bytes_per_stage": glue_hbm / max(n_stages, 1),
+        "glue_bytes_per_stage": glue_bytes / max(n_stages, 1),
+        "total_s_per_stage": stage_s,
+        "hbm_bytes_per_stage_trace": hbm_per_stage,
+        "hbm_gb_per_s_trace": hbm_per_stage / max(stage_s, 1e-30) / 1e9,
+        "module_s": module_us * 1e-6,
+        "buckets_s_per_stage": {
+            k: v * 1e-6 / max(n_stages, 1)
+            for k, v in sorted(buckets.items(), key=lambda kv: -kv[1])},
+    }
+    return rep
+
+
+def device_time_of_loop(trace):
+    """Total device busy time (s): sum of XLA-Ops durations excluding the
+    module/while wrappers (which double-count their children)."""
+    total = 0.0
+    for name, dur, args in device_ops(trace):
+        if name.startswith(("while", "jit_", "body", "condition")):
+            continue
+        total += dur
+    return total * 1e-6
