@@ -1078,3 +1078,169 @@ def fused_wdet(xs, disc, block_e=512, interpret=None):
         out_shape=jax.ShapeDtypeStruct((E, Q), dtype),
         interpret=_auto_interpret(interpret),
     )(xs_t, Gmb, w_q)
+
+
+# ---------------------------------------------------------------------------
+# fused neighbor-face gather (structured grid)
+# ---------------------------------------------------------------------------
+#
+# The round-4 device trace showed the XLA neighbor gather (one-hot dot +
+# six flat element-axis rolls + edge selects, structured.py) costing
+# 83.5 us/stage — 20% of the stage and the largest glue bucket, all of it
+# VMEM-resident op overhead rather than HBM traffic. This kernel does the
+# whole gather in ONE pass: u is passed three times with block index maps
+# (i-1, i, i+1 mod nblk), so every neighbor offset (|delta| <= H = the
+# last-axis stride = the block size) is reachable inside the 3-block VMEM
+# window; per face, the shifted rows are masked (physical edges -> 0,
+# periodic inner axes -> wrapped offset) and contracted with the exact
+# one-hot face-extraction table. Bit-identical to
+# structured.gather_nbr_structured (tested), zero HBM side buffers.
+#
+# MEASURED NEGATIVE RESULT (round 4, v5e): wired into the production
+# stage this kernel costs ~90 us/stage vs the ~23 us of XLA glue it
+# actually replaces (FOM 1847 -> 1536 at N=24 p=3). The trace's 83.5 us
+# "structured.py" bucket was dominated by the BOUNDS-stencil rolls
+# (60.9 us), not the u_nbr gather; and a separate pallas_call cannot
+# amortize its fixed cost (grid setup + 3x window DMA of u) against a
+# mere [E, nf*fd] one-hot contraction the way XLA's fused roll+select
+# graph does. Kept (with tests/test_gather_kernel.py pinning it
+# bit-identical) as the documented dead end; the production path keeps
+# the XLA gather. Fusing the gather INTO the mega kernel's existing
+# 3-block window remains the open follow-up.
+
+
+def _gather_nbr_kernel(L_ref, C_ref, R_ref, M_ref, G_ref, out_ref, *,
+                       be, fd, faces_meta, nblk, mask_last):
+    i = pl.program_id(0)
+    dtype = C_ref.dtype
+    L, C, R = L_ref[:], C_ref[:], R_ref[:]
+    if mask_last:
+        # non-periodic last axis: the (i-1)%nblk / (i+1)%nblk wrap blocks
+        # carry garbage at the grid ends; those rows are physical-edge
+        # reads that must be zero
+        L = L * (i > 0).astype(dtype)
+        R = R * (i < nblk - 1).astype(dtype)
+
+    def shifted(d):
+        if d == 0:
+            return C
+        # |d| == be (last-axis faces): the shifted window IS the whole
+        # neighbor block — concatenate with a zero-size slice fails
+        # Mosaic lowering ("vector types must have positive sizes")
+        if d == be:
+            return R
+        if d == -be:
+            return L
+        if d > 0:
+            return jnp.concatenate([C[d:], R[:d]], axis=0)
+        return jnp.concatenate([L[be + d:], C[:be + d]], axis=0)
+
+    HI = jax.lax.Precision.HIGHEST
+    outs = []
+    for f, (delta, wrap, mode) in enumerate(faces_meta):
+        v = shifted(delta)
+        if mode == 2:        # periodic inner axis: edge rows read the wrap
+            m = M_ref[:, f:f + 1]
+            v = jnp.where(m > 0.5, shifted(wrap), v)
+        elif mode == 1:      # non-periodic inner axis: edge rows are 0
+            v = v * (1.0 - M_ref[:, f:f + 1])
+        # one-hot extraction: HIGHEST so values pass through unrounded
+        outs.append(jnp.dot(v, G_ref[:, f * fd:(f + 1) * fd],
+                            preferred_element_type=dtype, precision=HI))
+    out_ref[:] = jnp.concatenate(outs, axis=1)
+
+
+_GATHER_META_CACHE = {}
+
+
+def gather_nbr_flat_meta(shape, periodic, nbr_np, nd):
+    """Static tables for gather_nbr_flat; None if the layout is
+    unsupported (caller falls back to the XLA gather)."""
+    key = (tuple(shape), tuple(periodic), nbr_np.tobytes(), nd)
+    if key in _GATHER_META_CACHE:
+        return _GATHER_META_CACHE[key]
+    from ..mesh import faces_for_dim
+    from ..structured import _face_gather_matrix
+    dim = len(shape)
+    E = int(np.prod(shape))
+
+    def edge_mask_np(axis, side):
+        """Pure-numpy [E] bool: element on the (axis, side) physical edge
+        (structured._edge_mask returns jnp, which cannot be built while
+        tracing — e.g. Advection.__init__ under shard_map)."""
+        grid_shape = tuple(reversed(shape))
+        m = np.zeros(grid_shape, dtype=bool)
+        idx = [slice(None)] * dim
+        idx[dim - 1 - axis] = -1 if side == 1 else 0
+        m[tuple(idx)] = True
+        return m.reshape(E)
+    strides = [1]
+    for a in range(1, dim):
+        strides.append(strides[-1] * shape[a - 1])
+    be = strides[-1]                      # last-axis stride = block size
+    meta = None
+    if dim >= 2 and E % be == 0 and be % 8 == 0 and E // be >= 1:
+        faces = faces_for_dim(dim)
+        nf, fd = nbr_np.shape
+        G = _face_gather_matrix(nbr_np, nd)           # [nd, nf*fd]
+        masks = np.zeros((E, nf))
+        faces_meta = []
+        for f, (axis, side) in enumerate(faces):
+            dirn = 1 if side == 1 else -1
+            delta = dirn * strides[axis]
+            wrap = 0
+            mode = 0
+            if axis < dim - 1:            # inner axes need masking
+                edge = edge_mask_np(axis, side)
+                if periodic[axis]:
+                    mode = 2
+                    wrap = -dirn * (shape[axis] - 1) * strides[axis]
+                else:
+                    mode = 1
+                masks[:, f] = edge.astype(float)
+            faces_meta.append((int(delta), int(wrap), mode))
+        meta = dict(be=be, nblk=E // be, fd=fd, nf=nf, G=G, masks=masks,
+                    faces_meta=tuple(faces_meta),
+                    mask_last=not periodic[dim - 1])
+    _GATHER_META_CACHE[key] = meta
+    return meta
+
+
+def gather_nbr_flat(u, meta, interpret=None):
+    """u_nbr[E, nf*fd] (face-major flat) in one Pallas kernel; equals
+    gather_nbr_structured(u, ...).reshape(E, -1) with zero boundary
+    fill. See module comment above for the windowing scheme."""
+    E, nd = u.shape
+    dtype = u.dtype
+    be, nblk, fd = meta["be"], meta["nblk"], meta["fd"]
+    G = jnp.asarray(meta["G"], dtype)
+    M = jnp.asarray(meta["masks"], dtype)
+    kern = functools.partial(_gather_nbr_kernel, be=be, fd=fd,
+                             faces_meta=meta["faces_meta"], nblk=nblk,
+                             mask_last=meta["mask_last"])
+    ublk = lambda im: pl.BlockSpec((be, nd), im, memory_space=pltpu.VMEM)
+    # index maps use lax.rem on explicit i32: jnp's % (dtype promotion)
+    # and jnp.where (scalar select) both hit infinite _convert_helper
+    # recursion in Mosaic's transform-func lowering under jax_enable_x64.
+    # np.int32 (not jnp): a jnp scalar built outside the index map is a
+    # captured tracer, which BlockSpec index maps reject
+    def _wrap(expr):
+        return jax.lax.rem(expr.astype(jnp.int32) + np.int32(nblk),
+                           np.int32(nblk))
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            ublk(lambda i: (_wrap(i - 1), i * 0)),
+            ublk(lambda i: (i, i * 0)),
+            ublk(lambda i: (_wrap(i + 1), i * 0)),
+            pl.BlockSpec((be, meta["nf"]), lambda i: (i, i * 0),
+                         memory_space=pltpu.VMEM),
+            _rep(G.shape),
+        ],
+        out_specs=pl.BlockSpec((be, meta["nf"] * fd), lambda i: (i, i * 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((E, meta["nf"] * fd), dtype),
+        interpret=_auto_interpret(interpret),
+    )(u, u, u, M, G)
