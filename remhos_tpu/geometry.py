@@ -218,3 +218,56 @@ def face_geometry_tangent(x, Bmf, Gmf_tan, sign):
         t = T[..., 0]
         nor = jnp.stack([t[..., 1], -t[..., 0]], -1)
     return x_fq, nor * sign[None, :, None, None]
+
+
+def lumped_mass_poly(x0, v, disc):
+    """Lumped mass as a polynomial in pseudotime: ml(t) = sum_k t^k ml_k.
+
+    In remap the mesh moves linearly, x(t) = x0 + t*v (remhos.cpp:
+    1128-1134, 1262-1274), so J(t) = J0 + t*Jv and det J(t) is a
+    polynomial of degree `dim`; the lumped mass ml_i(t) = sum_q
+    B_u[q,i] w_q det_q(t) (partition of unity, remhos.cpp:700-707)
+    inherits the same coefficients. Returns (mlk[dim+1, E, nd],
+    sig[dim+1]) with sig_k = sum_i ml_k[i] — everything computed in f64
+    regardless of the input dtype (one-time setup; consumed by the f32
+    production loop's conservative mass closure, steppers.mass_closure).
+    """
+    x0 = jnp.asarray(x0, jnp.float64)
+    v = jnp.asarray(v, jnp.float64)
+    Gm = jnp.asarray(disc.Gm, jnp.float64)
+    dim = x0.shape[-1]
+    J0 = jacobian_planes(x0, Gm)
+    Jv = jacobian_planes(v, Gm)
+
+    def prod2(a, b):
+        """(a0 + t a1)(b0 + t b1) coefficients."""
+        return (a[0] * b[0], a[0] * b[1] + a[1] * b[0], a[1] * b[1])
+
+    def pair(d, b):
+        return (J0[d][b], Jv[d][b])
+
+    if dim == 1:
+        det_c = (J0[0][0], Jv[0][0])
+    elif dim == 2:
+        p1 = prod2(pair(0, 0), pair(1, 1))
+        p2 = prod2(pair(0, 1), pair(1, 0))
+        det_c = tuple(a - b for a, b in zip(p1, p2))
+    else:
+        det_c = None
+        for b in range(3):
+            b1, b2 = (b + 1) % 3, (b + 2) % 3
+            # cofactor C[0][b](t), quadratic
+            c1 = prod2(pair(1, b1), pair(2, b2))
+            c2 = prod2(pair(1, b2), pair(2, b1))
+            cof = tuple(a - bb for a, bb in zip(c1, c2))
+            j0, j1 = pair(0, b)
+            term = (j0 * cof[0], j0 * cof[1] + j1 * cof[0],
+                    j0 * cof[2] + j1 * cof[1], j1 * cof[2])
+            det_c = term if det_c is None else tuple(
+                p + q for p, q in zip(det_c, term))
+
+    w_q = jnp.asarray(disc.w_q, jnp.float64)
+    Bu = jnp.asarray(disc.Bu, jnp.float64)
+    mlk = jnp.stack([(w_q[None, :] * dk) @ Bu for dk in det_c])
+    sig = mlk.sum(axis=(1, 2))
+    return mlk, sig

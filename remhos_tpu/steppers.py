@@ -99,6 +99,58 @@ def kahan_add(u, c, delta):
     return t, c_new
 
 
+def make_mass_closure(mlk, sig, m_target):
+    """Conservative mass closure for the f32 production loop.
+
+    The compensated (Kahan) combine removes the state-ACCUMULATION
+    rounding bias, but ~5e-9/step of stage-COMPUTE product rounding in
+    the conservative sums remains (measured path-independent: identical
+    on the Pallas and pure-XLA f32 paths). This closes it exactly: the
+    integrator state is the Kahan pair (u, c) with u_exact = u + c, so
+    the true mass functional M(t) = <ml(t), u + c> is measurable in f64
+    (ml(t) from the degree-dim pseudotime polynomial,
+    geometry.lumped_mass_poly) and the deficit against the t=0 invariant
+    can be injected as a uniform shift of the compensation array c —
+    sub-ulp amounts that a plain f32 `u +=` would round away entirely
+    flow into u through the next kahan_add as they become representable.
+    The reference conserves at f64 round-off (remhos.cpp:1423-1436);
+    with this closure the f32 path pins <ml(t),u+c> to the initial mass
+    up to O(eps^2) Kahan residue and the f32 quantization of mlk
+    (~1e-10 relative over 320 steps, measured).
+
+    The closure is NOT allowed to hide a conservation bug: close() also
+    returns the f64 mass deficit it absorbed, and the caller must budget
+    the ACCUMULATED injection against the known drift scale (bench.py
+    asserts it; a broken FCT/lumping shows up there at 1e-3+, exactly as
+    it did in the un-closed mass_rel_loss).
+
+    mlk: [K, E, nd] poly coefficients (any dtype; stored f32 halves the
+    closure's read traffic, products are exact in the f64 dot; the f32
+    quantization error of the metric itself is ~eps_f32/sqrt(ndofs)
+    relative on the f64-metric mass — ~1e-10 at 9e5 dofs).
+    sig:  [K] f64 per-coefficient totals sum(mlk[k]).
+    m_target: f64 scalar, the conserved mass.
+    Returns close(u, c, t) -> (c_new, deficit) with deficit =
+    m_target - <ml(t), u+c> (f64, signed — the mass injected this call).
+    """
+    import jax.numpy as jnp
+
+    K = int(mlk.shape[0])
+    mlk2 = mlk.reshape(K, -1)
+
+    def close(u, c, t):
+        t64 = jnp.asarray(t, jnp.float64)
+        s = (u.astype(jnp.float64) + c.astype(jnp.float64)).reshape(-1)
+        dots = mlk2.astype(jnp.float64) @ s                       # [K]
+        tk = t64 ** jnp.arange(K)
+        M = jnp.dot(dots, tk)
+        S = jnp.dot(jnp.asarray(sig, jnp.float64), tk)
+        deficit = jnp.asarray(m_target, jnp.float64) - M
+        return c + (deficit / S).astype(c.dtype), deficit
+
+    return close
+
+
 def make_rk_step(f, kind: int, compensated: bool = False):
     """Standard RK step(u, t, dt) -> (u_new, aux); f(t, dt, u) -> (du, aux).
 

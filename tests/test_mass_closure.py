@@ -1,0 +1,109 @@
+"""Polynomial lumped mass + conservative f32 mass closure.
+
+In remap the mesh moves linearly (x(t) = x0 + t*v, remhos.cpp:1128-1134),
+so det J(t) — and with it the lumped mass ml(t) — is an exact polynomial
+of degree `dim` in pseudotime. `geometry.lumped_mass_poly` returns its
+coefficients; `steppers.make_mass_closure` uses them to pin the f64 mass
+functional <ml(t), u+c> of the f32 Kahan state (u, c) to the t=0
+invariant, matching the reference's f64-round-off conservation
+(remhos.cpp:1423-1436) on the f32 production path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from remhos_tpu import geometry as geo
+from remhos_tpu import pa as pam
+from remhos_tpu import steppers
+from remhos_tpu.discretization import build_discretization
+from remhos_tpu.mesh import make_cartesian_mesh
+
+
+def _case(dim, shape, order, seed=0):
+    mesh = make_cartesian_mesh(dim, shape, (0.0,) * dim, (1.0,) * dim,
+                               (False,) * dim)
+    disc = build_discretization(mesh, order)
+    x0 = jnp.asarray(mesh.x, jnp.float64)
+    rng = np.random.default_rng(seed)
+    # any smooth-ish nodal velocity works: the polynomial identity in t
+    # is exact for every v; keep it small so det J stays positive
+    v = jnp.asarray(0.08 * rng.standard_normal(x0.shape))
+    return disc, x0, v
+
+
+def _ml_direct(x0, v, disc, t):
+    g = geo.volume_geometry(x0 + t * v, jnp.asarray(disc.Bm, jnp.float64),
+                            jnp.asarray(disc.Gm, jnp.float64))
+    wdet = jnp.asarray(disc.w_q, jnp.float64)[None, :] * g["detJ"]
+    return pam.lumped_mass_pa(wdet, jnp.asarray(disc.Bu, jnp.float64))
+
+
+@pytest.mark.parametrize("dim,shape,order", [
+    (2, (5, 4), 3),
+    (3, (3, 4, 2), 2),
+])
+def test_lumped_mass_poly_exact(dim, shape, order):
+    disc, x0, v = _case(dim, shape, order)
+    mlk, sig = geo.lumped_mass_poly(x0, v, disc)
+    assert mlk.shape[0] == dim + 1
+    for t in (0.0, 0.13, 0.7, 1.0):
+        ml_poly = sum((t ** k) * mlk[k] for k in range(dim + 1))
+        ml_ref = _ml_direct(x0, v, disc, t)
+        np.testing.assert_allclose(np.asarray(ml_poly), np.asarray(ml_ref),
+                                   rtol=1e-13, atol=1e-15)
+        # sig_k = sum(mlk_k): S(t) is the total measure at t
+        S = float(sum((t ** k) * sig[k] for k in range(dim + 1)))
+        assert abs(S - float(ml_ref.sum())) <= 1e-12 * abs(S)
+
+
+def _mass(mlk32, state, t):
+    """f64 mass functional in the f32-mlk metric (the closure's own)."""
+    K = mlk32.shape[0]
+    tk = np.array([t ** k for k in range(K)])
+    dots = np.array([float(mlk32[k].astype(jnp.float64).reshape(-1)
+                           @ state.reshape(-1)) for k in range(K)])
+    return float(dots @ tk)
+
+
+def test_mass_closure_pins_invariant():
+    disc, x0, v = _case(3, (3, 3, 3), 2, seed=1)
+    mlk, sig = geo.lumped_mass_poly(x0, v, disc)
+    mlk32 = mlk.astype(jnp.float32)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.uniform(0.1, 1.0, mlk.shape[1:]), jnp.float32)
+    c = jnp.asarray(1e-7 * rng.standard_normal(mlk.shape[1:]), jnp.float32)
+    t = 0.37
+    s64 = u.astype(jnp.float64) + c.astype(jnp.float64)
+    M0 = _mass(mlk32, s64, t)
+    # target an invariant the drifted state misses by ~1e-5 relative
+    m_target = M0 * (1.0 + 1.3e-5)
+    close = steppers.make_mass_closure(mlk32, np.asarray(sig), m_target)
+    c_new, deficit = close(u, c, jnp.float64(t))
+    s_new = u.astype(jnp.float64) + c_new.astype(jnp.float64)
+    M1 = _mass(mlk32, s_new, t)
+    # deficit shrinks by ~eps_f32 (err is rounded once into the f32 c)
+    assert abs(M1 - m_target) <= 1e-6 * abs(M0 - m_target) \
+        + 1e-14 * abs(m_target)
+    # the reported deficit is the injected mass (signed)
+    assert abs(float(deficit) - (m_target - M0)) <= 1e-10 * abs(m_target)
+    # uniformity: the shift is the same for every dof
+    d = np.asarray(c_new - c, np.float64)
+    assert np.ptp(d) <= 1e-6 * (abs(d).max() + 1e-30)
+
+
+def test_mass_closure_noop_at_target():
+    disc, x0, v = _case(2, (4, 4), 2, seed=3)
+    mlk, sig = geo.lumped_mass_poly(x0, v, disc)
+    mlk32 = mlk.astype(jnp.float32)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.uniform(0.1, 1.0, mlk.shape[1:]), jnp.float32)
+    c = jnp.zeros_like(u)
+    t = 0.61
+    M0 = _mass(mlk32, u.astype(jnp.float64), t)
+    close = steppers.make_mass_closure(mlk32, np.asarray(sig), M0)
+    c_new, deficit = close(u, c, jnp.float64(t))
+    # already on target: the correction is at the f64-dot noise level
+    assert float(jnp.abs(c_new).max()) <= 1e-12 * float(jnp.abs(u).max())
+    assert abs(float(deficit)) <= 1e-12 * abs(M0)
