@@ -151,7 +151,79 @@ def make_mass_closure(mlk, sig, m_target):
     return close
 
 
-def make_rk_step(f, kind: int, compensated: bool = False):
+def make_mass_closure_inc(mlk, sig, block=1024):
+    """Incremental conservative mass closure: per-step f32 work only.
+
+    The full closure (make_mass_closure) does a [K, ndofs] f64 matvec
+    every step — unusable per-step on TPU v5e, where f64 is software-
+    emulated: ONE 884k-element f64 dot measures 4.9 ms vs 34 us for the
+    f32 matvec (230x), which showed up as 2.68 ms/stage of "steppers"
+    glue and a 1959 -> 256 FOM regression in the round-4 bench.
+
+    This variant exploits that the PREVIOUS step left the state exactly
+    closed, so the new deficit is minus the mass INCREMENT, and both
+    increment terms carry only O(dt)-relative magnitudes (s1 = s0 + d
+    the post-step state, d the step increment):
+
+        M(t1, s1) - M(t0, s1 - d)
+            = <ml(t0), d> + <ml(t1) - ml(t0), s1>
+            = sum_k t0^k <mlk, d>  +  sum_{k>=1} (t1^k - t0^k) <mlk, s1>
+
+    with d the step's explicit Kahan increment (make_rk_step
+    with_delta=True; u_new + c_new = (u + c) + d to O(eps^2)) and s1
+    evaluated as fl32(u_new + c_new) — the single f32 rounding there
+    enters scaled by (t1^k - t0^k) ~ O(dt), i.e. ~1e-11 relative. f32
+    dot rounding likewise enters SCALED BY THE INCREMENT: ~eps_f32 *
+    O(dt) * M ~ 1e-10 M per step. Block partial sums in f32 with an
+    exact f64 outer sum over the ~N/block partials keep the reduction
+    error at that scale independent of how XLA schedules the in-block
+    tree. The residual tracking error random-walks to ~1e-9 over 320
+    steps and is re-anchored by ONE exact f64 closure after the scan
+    (the caller runs make_mass_closure once on the final state — 8 ms
+    total, O(1) per run).
+
+    Returns close(u_new, c_new, delta, t0, t1) -> (c_out, deficit);
+    the f64 deficit is budgeted by the caller exactly like the full
+    closure's.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    K = int(mlk.shape[0])
+    N = int(np.prod(mlk.shape[1:]))
+    nb = -(-N // block)
+    pad = nb * block - N
+    mlkb = jnp.pad(mlk.reshape(K, -1), ((0, 0), (0, pad))
+                   ).reshape(K, nb, block)
+    sig64 = jnp.asarray(sig, jnp.float64)
+    HI = jax.lax.Precision.HIGHEST
+
+    def close(u, c, delta, t0, t1):
+        s1 = (u + c).reshape(-1)                 # post-step state, fl32
+        X = jnp.stack([delta.reshape(-1), s1])                  # [2, N]
+        X = jnp.pad(X, ((0, 0), (0, pad))).reshape(2, nb, block)
+        # [K, 2, nb] f32 block partials (VPU multiply + in-block tree
+        # reduce); the cross-block sum is exact f64 but SMALL (K*2*nb)
+        parts = jnp.einsum("knb,xnb->kxn", mlkb, X, precision=HI)
+        dots = parts.astype(jnp.float64).sum(-1)                 # [K, 2]
+        t064 = jnp.asarray(t0, jnp.float64)
+        t164 = jnp.asarray(t1, jnp.float64)
+        # Python-int exponents lower to lax.integer_pow (exact multiply
+        # chains); an array exponent would lower to exp(k*log(t)), which
+        # is NaN at t0 = 0 (first step) on TPU.
+        tk0 = jnp.stack([t064 ** k for k in range(K)])
+        tk1 = jnp.stack([t164 ** k for k in range(K)])
+        dM = jnp.dot(tk0, dots[:, 0]) + jnp.dot(tk1 - tk0, dots[:, 1])
+        deficit = -dM
+        S = jnp.dot(sig64, tk1)
+        return c + (deficit / S).astype(c.dtype), deficit
+
+    return close
+
+
+def make_rk_step(f, kind: int, compensated: bool = False,
+                 with_delta: bool = False):
     """Standard RK step(u, t, dt) -> (u_new, aux); f(t, dt, u) -> (du, aux).
 
     `aux` is a scalar side channel (the LO-bounds dt ratio when -dtc 1,
@@ -167,6 +239,12 @@ def make_rk_step(f, kind: int, compensated: bool = False):
     states are formed exactly as in the plain path, so stage values and
     limiter decisions are unchanged; only the final combine's round-off
     differs (ulp-level).
+
+    with_delta=True (compensated only) appends the step's explicit
+    increment to the return: (u_new, c_new, aux, delta). The Kahan pair
+    satisfies u_new + c_new = (u + c) + delta to O(eps^2), so delta IS
+    the exact state change — the incremental mass closure
+    (make_mass_closure_inc) consumes it.
     """
     import jax.numpy as jnp
 
@@ -177,8 +255,9 @@ def make_rk_step(f, kind: int, compensated: bool = False):
 
         def cstep(u, c, t, dt):
             k1, a1 = f(t, dt, u)
-            u2, c2 = kahan_add(u, c, dt * k1)
-            return u2, c2, a1
+            delta = dt * k1
+            u2, c2 = kahan_add(u, c, delta)
+            return u2, c2, a1, delta
     elif kind == 2:  # MFEM RK2Solver(1.0)
         def step(u, t, dt):
             k1, a1 = f(t, dt, u)
@@ -190,8 +269,9 @@ def make_rk_step(f, kind: int, compensated: bool = False):
             k1, a1 = f(t, dt, u)
             y = u + dt * k1
             k2, a2 = f(t + dt, dt, y)
-            u2, c2 = kahan_add(u, c, 0.5 * dt * (k1 + k2))
-            return u2, c2, jnp.minimum(a1, a2)
+            delta = 0.5 * dt * (k1 + k2)
+            u2, c2 = kahan_add(u, c, delta)
+            return u2, c2, jnp.minimum(a1, a2), delta
     elif kind == 3:  # MFEM RK3SSPSolver
         def step(u, t, dt):
             k, a1 = f(t, dt, u)
@@ -210,7 +290,7 @@ def make_rk_step(f, kind: int, compensated: bool = False):
             k3, a3 = f(t + dt / 2, dt, y)
             delta = (dt / 6.0) * (k1 + k2 + 4.0 * k3)
             u2, c2 = kahan_add(u, c, delta)
-            return u2, c2, jnp.minimum(a1, jnp.minimum(a2, a3))
+            return u2, c2, jnp.minimum(a1, jnp.minimum(a2, a3)), delta
     elif kind == 4:  # classic RK4
         def step(u, t, dt):
             k1, a1 = f(t, dt, u)
@@ -226,14 +306,23 @@ def make_rk_step(f, kind: int, compensated: bool = False):
             k3, a3 = f(t + dt / 2, dt, u + dt / 2 * k2)
             k4, a4 = f(t + dt, dt, u + dt * k3)
             aux = jnp.minimum(jnp.minimum(a1, a2), jnp.minimum(a3, a4))
-            u2, c2 = kahan_add(u, c,
-                               dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4))
-            return u2, c2, aux
+            delta = dt / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+            u2, c2 = kahan_add(u, c, delta)
+            return u2, c2, aux, delta
     elif kind == 6:
-        return make_tableau_rk_step(f, RK6_BUTCHER, compensated=compensated)
+        return make_tableau_rk_step(f, RK6_BUTCHER, compensated=compensated,
+                                    with_delta=with_delta)
     else:
         raise ValueError(f"unsupported RK type {kind}")
-    return cstep if compensated else step
+    if not compensated:
+        return step
+    if with_delta:
+        return cstep
+
+    def cstep3(u, c, t, dt):
+        u2, c2, aux, _ = cstep(u, c, t, dt)
+        return u2, c2, aux
+    return cstep3
 
 
 def make_idp_step(mult_unlimited, limit_mult, kind: int, compute_mask=None,
@@ -401,7 +490,8 @@ RK6_BUTCHER = dict(
 )
 
 
-def make_tableau_rk_step(f, tab, compensated: bool = False):
+def make_tableau_rk_step(f, tab, compensated: bool = False,
+                         with_delta: bool = False):
     """Generic explicit RK from a Butcher tableau; f(t, dt, u) -> (du, aux)."""
     import jax.numpy as jnp
 
@@ -437,6 +527,6 @@ def make_tableau_rk_step(f, tab, compensated: bool = False):
                 term = dt * b[i] * ks[i]
                 delta = term if delta is None else delta + term
         u2, c2 = kahan_add(u, comp, delta)
-        return u2, c2, aux
+        return (u2, c2, aux, delta) if with_delta else (u2, c2, aux)
 
     return cstep if compensated else step

@@ -107,3 +107,51 @@ def test_mass_closure_noop_at_target():
     # already on target: the correction is at the f64-dot noise level
     assert float(jnp.abs(c_new).max()) <= 1e-12 * float(jnp.abs(u).max())
     assert abs(float(deficit)) <= 1e-12 * abs(M0)
+
+
+def test_mass_closure_incremental_tracks_and_anchors():
+    """make_mass_closure_inc: per-step f32 increment tracking holds the
+    true f64 mass functional near the invariant (errors enter scaled by
+    the increment), and one exact f64 anchor closes the residual. The
+    synthetic per-step deficits here are ~1e-3 relative — six orders
+    HARSHER than the production drift (5e-9/step) — so the bound below
+    is a stress test of the formula, not a tuned tolerance."""
+    disc, x0, v = _case(3, (3, 3, 3), 2, seed=5)
+    mlk, sig = geo.lumped_mass_poly(x0, v, disc)
+    mlk32 = mlk.astype(jnp.float32)
+    sig_np = np.asarray(sig)
+    K = mlk.shape[0]
+    rng = np.random.default_rng(6)
+    u = jnp.asarray(rng.uniform(0.1, 1.0, mlk.shape[1:]), jnp.float32)
+    c = jnp.zeros_like(u)
+
+    def true_mass(u, c, t):
+        # exact f64 mass in the closure's OWN metric (the f32-quantized
+        # mlk — the invariant the closure pins; the f64-mlk metric
+        # differs by the eps_f32/sqrt(ndofs) quantization documented in
+        # bench.py's closure setup)
+        s = (u.astype(jnp.float64) + c.astype(jnp.float64)).reshape(-1)
+        tk = jnp.asarray(t ** np.arange(K))
+        return float(jnp.einsum("kn,n,k->",
+                                mlk32.astype(jnp.float64).reshape(K, -1),
+                                s, tk))
+
+    t, dt = 0.0, 1e-3
+    m0 = true_mass(u, c, 0.0)
+    close_inc = steppers.make_mass_closure_inc(mlk32, sig_np, block=256)
+    close_full = steppers.make_mass_closure(mlk32, sig_np, m0)
+    worst = 0.0
+    for _ in range(60):
+        delta = jnp.asarray(
+            rng.standard_normal(u.shape) * 1e-3 * np.abs(np.asarray(u)),
+            jnp.float32)
+        u2, c2 = steppers.kahan_add(u, c, delta)
+        c2, deficit = close_inc(u2, c2, delta, t, t + dt)
+        assert np.isfinite(float(deficit))
+        u, c, t = u2, c2, t + dt
+        worst = max(worst, abs(true_mass(u, c, t) - m0) / abs(m0))
+    # tracked mass holds the invariant at f32-of-the-increment scale
+    assert worst < 5e-9, worst
+    # one exact f64 anchor pins the residual to round-off
+    c_end, _ = close_full(u, c, jnp.float64(t))
+    assert abs(true_mass(u, c_end, t) - m0) / abs(m0) < 1e-12
