@@ -41,6 +41,9 @@ estimate from XLA's cost analysis. Environment knobs:
   BENCH_BUDGET_S wall-clock budget for the dual record (default 1800);
                  optional legs are skipped (recorded in legs_skipped)
                  rather than letting the driver kill the process
+  BENCH_POLY_BF16 "1" streams the va/vn poly-geometry planes in bf16
+                 (P-stream precision experiment, docs/PERF.md; gated by
+                 the mass-closure injection budget + cross check)
 
 Baseline: the only absolute number recorded in the reference repo is the
 dev-machine run in remhos_tests.cpp:53-58 -> total FOM ~= 2.31 MDOF*steps/s
@@ -120,7 +123,10 @@ def build_case():
     use_pallas = _env_on("BENCH_PALLAS") and jax.devices()[0].platform == "tpu" \
         and DTYPE == "float32"
     scfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
-                        pa=True, use_pallas=use_pallas)
+                        pa=True, use_pallas=use_pallas,
+                        # P-stream precision experiment (docs/PERF.md):
+                        # bf16 va/vn coefficient planes, default OFF
+                        poly_bf16=_env_on("BENCH_POLY_BF16", "0"))
     n_steps = int(os.environ.get("BENCH_STEPS", "320"))
     dt = float(os.environ.get("BENCH_DT") or 0.2 / n_steps)
     w_dtype = jnp.float32 if DTYPE == "float32" else None
@@ -152,22 +158,32 @@ def build_case():
         sig_np = np.asarray(sig)
     if w_dtype is not None:
         x0, v, u0 = x0.astype(w_dtype), v.astype(w_dtype), u0.astype(w_dtype)
+    closure_inc = None
     if w_dtype is not None and _env_on("BENCH_CLOSURE"):
         from remhos_tpu import steppers as _st
         m0 = float(mlk32[0].astype(jnp.float64).reshape(-1)
                    @ u0.astype(jnp.float64).reshape(-1))
+        # per-step: the INCREMENTAL closure (f32 block dots on the step
+        # delta — the full closure's per-step f64 matvec is 4.9 ms on
+        # v5e's emulated f64 and cost 1959 -> 256 FOM); the full f64
+        # closure runs ONCE after the scan as the exact re-anchor.
+        # BENCH_CLOSURE=full restores the per-step f64 variant for
+        # comparison runs.
         closure = _st.make_mass_closure(mlk32, sig_np, m0)
+        if os.environ.get("BENCH_CLOSURE", "1") != "full":
+            closure_inc = _st.make_mass_closure_inc(mlk32, sig_np)
     adv = Advection(disc, scfg, x0, v, None, dtype=w_dtype)
     # compensated combine: the per-step increment is Kahan-accumulated
     # into the state (steppers.kahan_add), removing the systematic
     # ~3.7e-8/step f32 mass drift the plain combine's rounding bias caused
-    step = steppers.make_rk_step(adv.stage_function(), 3, compensated=True)
+    step = steppers.make_rk_step(adv.stage_function(), 3, compensated=True,
+                                 with_delta=closure_inc is not None)
     ctx = dict(mesh=mesh, scfg=scfg, order=order, x0=x0, v=v,
-               w_dtype=w_dtype, closure=closure)
+               w_dtype=w_dtype, closure=closure, closure_inc=closure_inc)
     return adv, adv64, step, jnp.stack([u0]), dt, use_pallas, ctx
 
 
-def make_loop(step, dt, n_steps, adv, closure=None):
+def make_loop(step, dt, n_steps, adv, closure=None, closure_inc=None):
     # jit THROUGH adv.bind_poly: the poly geometry tables enter as runtime
     # buffers, not inlined MLIR constants (~226 MB of module text at the
     # bench size — the remote compile helper rejects the request)
@@ -179,19 +195,37 @@ def make_loop(step, dt, n_steps, adv, closure=None):
             # up as a time-METRIC mass mismatch in the moving-mesh
             # conservation check; stages see the f32-rounded CORRECT t
             # (one rounding, not 320 accumulated ones)
-            S_new, C_new, _ = step(S, C, t.astype(S.dtype), dt)
             t_new = t + dt
-            if closure is not None:
-                c_u, deficit = closure(S_new[0], C_new[0], t_new)
+            if closure_inc is not None:
+                # incremental closure: f32 dots on the step increment,
+                # f64 only on scalars/block sums (make_mass_closure_inc)
+                S_new, C_new, _, delta = step(S, C, t.astype(S.dtype), dt)
+                c_u, deficit = closure_inc(S_new[0], C_new[0], delta[0],
+                                           t, t_new)
                 C_new = C_new.at[0].set(c_u)
-                # |injected mass| accumulates so verify() can budget the
-                # closure against the known drift scale — the closure
-                # must never be able to HIDE a conservation bug
                 acc = acc + jnp.abs(deficit)
+            else:
+                S_new, C_new, _ = step(S, C, t.astype(S.dtype), dt)
+                if closure is not None:
+                    c_u, deficit = closure(S_new[0], C_new[0], t_new)
+                    C_new = C_new.at[0].set(c_u)
+                    # |injected mass| accumulates so verify() can budget
+                    # the closure against the known drift scale — the
+                    # closure must never be able to HIDE a conservation
+                    # bug
+                    acc = acc + jnp.abs(deficit)
             return (S_new, C_new, t_new, acc), ()
-        (S, C, _, acc), _ = jax.lax.scan(
+        (S, C, t, acc), _ = jax.lax.scan(
             body, (S, jnp.zeros_like(S), t0.astype(jnp.float64),
                    jnp.zeros((), jnp.float64)), None, length=n_steps)
+        if closure_inc is not None and closure is not None:
+            # exact f64 re-anchor, ONCE per run (O(1), ~8 ms): absorbs
+            # the incremental tracker's accumulated f32 error (~1e-9
+            # over 320 steps) so the final mass is pinned at f64
+            # round-off exactly as with the per-step full closure
+            c_u, deficit = closure(S[0], C[0], t)
+            C = C.at[0].set(c_u)
+            acc = acc + jnp.abs(deficit)
         return S, C, acc
     return adv.bind_poly(run_steps)
 
@@ -299,6 +333,9 @@ def fused_bytes_per_stage(adv):
     E = adv.x0_nodes.shape[0]
     nd = int(adv.Bu.shape[1])
     p_cols = int(adv._poly["P"].shape[1])
+    if "P16" in adv._poly:
+        # split P-stream experiment: va/vn planes are bf16 (half-width)
+        p_cols += int(adv._poly["P16"].shape[1]) // 2
     nbr = int(adv.bdr_dofs.shape[0]) * int(adv.bdr_dofs.shape[1])
     bcols = 3 ** adv.disc.dim          # bounds stencil (in-kernel EXP)
     item = jnp.dtype(adv.dtype or jnp.float64).itemsize
@@ -371,7 +408,8 @@ def main():
         run_steps, S, _perm = make_sharded_loop(ctx, S, dt, n_steps,
                                                 n_sharded)
     else:
-        run_steps = make_loop(step, dt, n_steps, adv, closure=closure)
+        run_steps = make_loop(step, dt, n_steps, adv, closure=closure,
+                              closure_inc=ctx.get("closure_inc"))
 
     compiled = run_steps.lower(S, jnp.asarray(0.0, S.dtype)).compile()
     ca = compiled.cost_analysis() or {}
@@ -401,7 +439,8 @@ def main():
         if inj_rel is not None:
             extras["mass_closure_injected_rel"] = round(inj_rel, 12)
         if DTYPE == "float32" and _env_on("BENCH_CROSSCHECK"):
-            two, _, _ = _sync(make_loop(step, dt, 2, adv, closure=closure)(
+            two, _, _ = _sync(make_loop(step, dt, 2, adv, closure=closure,
+                                        closure_inc=ctx.get("closure_inc"))(
                 S, jnp.asarray(0.0, S.dtype)))
             extras["f32_vs_f64_2step_rel"] = round(
                 cross_precision_check(two, dt), 8)
@@ -449,7 +488,8 @@ def main():
         # alternate-memory tags in the HLO) — not the builder's model.
         from remhos_tpu.utils import trace as trc
         tr_steps = min(n_steps, 40)
-        tl = make_loop(step, dt, tr_steps, adv, closure=closure)
+        tl = make_loop(step, dt, tr_steps, adv, closure=closure,
+                       closure_inc=ctx.get("closure_inc"))
         _sync(tl(S, jnp.asarray(0.0, S.dtype)))
         tr = trc.capture_trace(
             lambda: _sync(tl(S, jnp.asarray(0.0, S.dtype))))

@@ -52,6 +52,8 @@ class SolverConfig:
     smth_ind: int = 0
     pa: bool = False     # matrix-free (partial assembly) hot path
     use_pallas: bool = False  # fused Pallas kernels (remap PA path, TPU)
+    poly_bf16: bool = False   # bf16 va/vn poly-geometry streams (experiment,
+    #                           docs/PERF.md "P-stream precision"; f32 only)
     verify_bounds: bool = False  # -vb dof-level stage checks (remhos.cpp:324)
     use_masks: bool = False   # IDP stage masks (remhos_solvers.hpp:100)
 
@@ -167,8 +169,10 @@ class Advection:
             # va/wdet/vn are low-degree polynomials in t whose coefficient
             # tables are built once (jitted; eager TPU layouts are
             # pathological) — the per-stage geometry compute disappears
+            vbf16 = bool(cfg.poly_bf16) and dtype == jnp.float32
             self._poly = jax.jit(
-                lambda x0, v: pk.build_poly_tables(x0, v, disc))(
+                lambda x0, v: pk.build_poly_tables(x0, v, disc,
+                                                   va_vn_bf16=vbf16))(
                     self.x0_nodes, self.v_nodes)
 
     def _stage_ho_fused(self, geom, u, n_cg=None):
@@ -387,6 +391,15 @@ class Advection:
         if not (self.cfg.bounds_type == 0
                 and getattr(mesh, "structured", True)):
             return None
+        # flat element-axis rolls: bit-identical to the grid-roll stencil
+        # (tested) with no grid reshape / class-axis transpose — the
+        # grid-roll variant measured 60.9 us/stage, the largest glue
+        # bucket in the round-4 trace attribution (docs/PERF.md).
+        # REMHOS_FLAT_STENCIL=0 restores the grid-roll path (A/B knob).
+        import os
+        if os.environ.get("REMHOS_FLAT_STENCIL", "1") == "1":
+            return strm.overlap_stencil_flat(
+                el_min, el_max, mesh.shape, mesh.periodic)
         return strm.overlap_bounds_structured(
             el_min, el_max, mesh.shape, mesh.periodic, 2)
 

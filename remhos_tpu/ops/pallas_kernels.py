@@ -576,13 +576,19 @@ _EPS_CS = 1.0e-15   # ClipScale rescale guard (remhos_fct.cpp:486)
 
 
 def _poly_stage_core(t, u, unbr, P, T, T3=None, *, dim, mode, n_cg, seg,
-                     nkv, nkd, nkn):
+                     nkv, nkd, nkn, P16=None):
     """Shared in-VMEM math of the polynomial-geometry stage solve: no
     J/cofactor/tangent compute — geometry enters as t-polynomial
     coefficient reads from ONE concatenated operand P = [VA | WDET | VN]
     (see build_poly_tables). T maps table names to their VMEM refs.
     Returns (du_HO, wdet) — or (Ku, wdet) when n_cg == 0 (phase
-    ablation's mass-solve-off mode)."""
+    ablation's mass-solve-off mode).
+
+    P16 (experiment, docs/PERF.md "P-stream precision"): the VA and VN
+    coefficient planes arrive as a separate bf16 operand [VA16 | VN16]
+    and P holds only the f32 WDET planes — halving ~3/4 of the dominant
+    poly stream. wdet stays f32 unconditionally: it feeds the lumped
+    mass / LO average, where bf16 would bias conservation directly."""
     dtype = u.dtype
     HI = jax.lax.Precision.HIGHEST
     S = seg
@@ -620,7 +626,7 @@ def _poly_stage_core(t, u, unbr, P, T, T3=None, *, dim, mode, n_cg, seg,
         return dot(a, T[key][:])
 
     def sg(M, k):
-        return M[:, k * S:(k + 1) * S]
+        return M[:, k * S:(k + 1) * S].astype(dtype)
 
     def horner(M, ks):
         acc = sg(M, ks[-1])
@@ -629,17 +635,20 @@ def _poly_stage_core(t, u, unbr, P, T, T3=None, *, dim, mode, n_cg, seg,
         return acc
 
     U = cdot(u, "UT")
-    off_wd = nkv * dim
-    off_vn = off_wd + nkd
+    # segment offsets: monolithic P = [VA | WDET | VN]; split mode keeps
+    # WDET alone in P and VA/VN in the bf16 operand P16 = [VA16 | VN16]
+    Pva = P16 if P16 is not None else P
+    off_wd = 0 if P16 is not None else nkv * dim
+    off_vn = nkv * dim if P16 is not None else nkv * dim + nkd
     du_q = None
     for b in range(dim):
-        va_b = horner(P, [k * dim + b for k in range(nkv)])
+        va_b = horner(Pva, [k * dim + b for k in range(nkv)])
         g_b = sg(U, b)
         du_q = va_b * g_b if du_q is None else du_q + va_b * g_b
     Ku = cdot(mode * du_q, "Buw")
     wdet = horner(P, [off_wd + k for k in range(nkd)])
 
-    vn = horner(P, [off_vn + k for k in range(nkn)])
+    vn = horner(Pva, [off_vn + k for k in range(nkn)])
     up = jnp.maximum(0.0, mode * vn)
     diff_q = cdot(unbr, "BD") - sg(U, dim)
     Ku = Ku + cdot(up * diff_q, "SB")
@@ -688,24 +697,28 @@ def _stage_ho_poly_kernel(t_ref, u_ref, unbr_ref, P_ref,
                           A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
                           BuT_ref, *rest, dim,
                           mode, n_cg, seg, nkv, nkd, nkn, with_lo,
-                          with_t3=False):
+                          with_t3=False, with_p16=False):
     """(du_HO, wdet[, du_LO]) outputs of the polynomial stage solve.
     with_lo additionally emits the MassBasedAvg LO solution — valid only
     when the caller's du_HO is this kernel's unmodified output (the
     standard-RK stage path). with_t3: 4 extra bf16 hi/lo split-table
-    inputs precede the outputs (see _poly_stage_core's dot3)."""
+    inputs precede the outputs (see _poly_stage_core's dot3). with_p16:
+    one more input after those — the bf16 VA/VN plane operand."""
     T = dict(UT=UT_ref, Buw=Buw_ref, BD=BD_ref, SB=SB_ref, A=A_ref,
              AT=AT_ref, BglT=BglT_ref, Bgl=Bgl_ref, Bgl2=Bgl2_ref)
     T3 = None
     if with_t3:
         T3 = dict(zip(("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3"), rest[:6]))
         rest = rest[6:]
+    P16 = None
+    if with_p16:
+        P16, rest = rest[0][:], rest[1:]
     out_ref, wdet_ref = rest[0], rest[1]
     lo_ref = rest[2] if with_lo else None
     u = u_ref[:]
     du, wdet = _poly_stage_core(t_ref[0, 0], u, unbr_ref[:], P_ref[:], T,
                                 T3, dim=dim, mode=mode, n_cg=n_cg, seg=seg,
-                                nkv=nkv, nkd=nkd, nkn=nkn)
+                                nkv=nkv, nkd=nkd, nkn=nkn, P16=P16)
     out_ref[:] = du
     wdet_ref[:] = wdet
     if with_lo:
@@ -719,7 +732,8 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
                        UT_ref, Buw_ref, BD_ref, SB_ref,
                        A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
                        BuT_ref, BuP_ref, *rest, dim, mode, n_cg, seg,
-                       nkv, nkd, nkn, with_t3=False, with_exp=False):
+                       nkv, nkd, nkn, with_t3=False, with_exp=False,
+                       with_p16=False):
     """The FULL limited stage in one kernel: HO solve + MassBasedAvg LO +
     lumped mass + ClipScale FCT (remhos_fct.cpp:484-539). Emits ONLY the
     limited du — du_HO/du_LO/wdet never touch HBM. Valid on the
@@ -732,6 +746,9 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
     if with_t3:
         T3 = dict(zip(("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3"), rest[:6]))
         rest = rest[6:]
+    P16 = None
+    if with_p16:
+        P16, rest = rest[0][:], rest[1:]
     EXP_ref = None
     if with_exp:
         EXP_ref, rest = rest[0], rest[1:]
@@ -740,7 +757,7 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
     dt = t_ref[0, 1]
     du, wdet = _poly_stage_core(t_ref[0, 0], u, unbr_ref[:], P_ref[:], T,
                                 T3, dim=dim, mode=mode, n_cg=n_cg, seg=seg,
-                                nkv=nkv, nkd=nkd, nkn=nkn)
+                                nkv=nkv, nkd=nkd, nkn=nkn, P16=P16)
     du_lo = _mass_based_avg_core(u, du, dt, wdet, BuT_ref)
     HI = jax.lax.Precision.HIGHEST
     ml = jnp.dot(wdet, BuP_ref[:], preferred_element_type=u.dtype,
@@ -801,10 +818,12 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
                        jnp.asarray(0.0 if dt is None else dt, dtype)]
                       ).reshape(1, 2)
     with_t3 = dtype == jnp.float32 and "UT3" in tables
+    with_p16 = "P16" in poly
     kern = functools.partial(_stage_ho_poly_kernel, dim=dim,
                              mode=float(mode), n_cg=n_cg, seg=S,
                              nkv=dim, nkd=dim + 1, nkn=dim,
-                             with_lo=with_lo, with_t3=with_t3)
+                             with_lo=with_lo, with_t3=with_t3,
+                             with_p16=with_p16)
     tb = tables
 
     def blk(a):
@@ -826,6 +845,7 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
 
     t3_keys = (("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3")
                if with_t3 else ())
+    p16_ops = [poly["P16"]] if with_p16 else []
     res = pl.pallas_call(
         kern,
         grid=(E // be,),
@@ -838,14 +858,15 @@ def fused_stage_ho_poly(t, u, u_nbr_flat, poly, tables, *, dim, mode,
             _rep(tb["A"].shape), _rep(tb["AT"].shape),
             _rep(tb["BglT"].shape), _rep(tb["Bgl"].shape),
             _rep(tb["Bgl2"].shape), _rep(tb["BuT"].shape),
-        ] + [_rep(tb[k].shape) for k in t3_keys],
+        ] + [_rep(tb[k].shape) for k in t3_keys]
+          + [blk(a) for a in p16_ops],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=_auto_interpret(interpret),
     )(t_arr, u, u_nbr_flat, poly["P"],
       tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
       tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"],
-      *[tb[k] for k in t3_keys])
+      *[tb[k] for k in t3_keys], *p16_ops)
     du, wdet_p = res[0], res[1]
     if with_lo:
         return du, wdet_p[:, :Q], res[2]
@@ -880,9 +901,11 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
     t_arr = jnp.stack([jnp.asarray(t, dtype), jnp.asarray(dt, dtype)]
                       ).reshape(1, 2)
     with_t3 = dtype == jnp.float32 and "UT3" in tables
+    with_p16 = "P16" in poly
     kern = functools.partial(_stage_mega_kernel, dim=dim, mode=float(mode),
                              n_cg=n_cg, seg=S, nkv=dim, nkd=dim + 1,
-                             nkn=dim, with_t3=with_t3, with_exp=with_exp)
+                             nkn=dim, with_t3=with_t3, with_exp=with_exp,
+                             with_p16=with_p16)
     tb = tables
 
     def blk(a):
@@ -891,6 +914,7 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
 
     t3_keys = (("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3")
                if with_t3 else ())
+    p16_ops = [poly["P16"]] if with_p16 else []
     exp_ops = [tb["EXP"]] if with_exp else []
     return pl.pallas_call(
         kern,
@@ -907,6 +931,7 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
             _rep(tb["Bgl2"].shape), _rep(tb["BuT"].shape),
             _rep(tb["BuP"].shape),
         ] + [_rep(tb[k].shape) for k in t3_keys]
+          + [blk(a) for a in p16_ops]
           + [_rep(a.shape) for a in exp_ops],
         out_specs=pl.BlockSpec((be, nd), lambda i: (i, i * 0),
                                memory_space=pltpu.VMEM),
@@ -915,17 +940,27 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
     )(t_arr, u, u_nbr_flat, poly["P"], x_min, x_max,
       tb["UT"], tb["Buw"], tb["BD"], tb["SB"],
       tb["A"], tb["AT"], tb["BglT"], tb["Bgl"], tb["Bgl2"], tb["BuT"],
-      tb["BuP"], *[tb[k] for k in t3_keys], *exp_ops)
+      tb["BuP"], *[tb[k] for k in t3_keys], *p16_ops, *exp_ops)
 
 
-def build_poly_tables(x0, v, disc, dtype=None):
+def build_poly_tables(x0, v, disc, dtype=None, va_vn_bf16=False):
     """Device coefficient tables for the polynomial stage geometry.
 
-    Returns dict(VA=[E, nkv*dim*S], WDET=[E, nkd*S], VN=[E, nkn*S]) with
+    Returns dict(P=[E, nseg*S]) concatenating [VA | WDET | VN] with
     128-aligned zero-padded segments (segment (k, b) of VA holds the
     t^k coefficient of va_b at the volume rule; WDET has w_q and the
     quadrature-weight padding folded in; VN holds vn t^k coefficients at
-    the face rule). Call under jit (eager TPU layouts are pathological)."""
+    the face rule). Call under jit (eager TPU layouts are pathological).
+
+    va_vn_bf16 (experiment, docs/PERF.md "P-stream precision"): the VA
+    and VN planes — (2*dim)/(2*dim+3) of the poly stream in 3D — move to
+    a separate bf16 operand, dict(P=[WDET f32], P16=[VA16|VN16] bf16).
+    This halves the dominant byte stream at the cost of ~bf16-eps (4e-3)
+    relative error on the advective RHS, and — because volume (va) and
+    face (vn) geometry round INDEPENDENTLY — breaks the discrete
+    volume/face telescoping that makes du_HO conservative, so the mass
+    closure absorbs the resulting drift and its injection budget is the
+    gate (bench.py verify)."""
     from .. import geometry as geo
     dim = disc.dim
     if dtype is None:
@@ -1027,13 +1062,20 @@ def build_poly_tables(x0, v, disc, dtype=None):
     # ONE concatenated operand [VA | WDET | VN] so the kernel streams a
     # single fat block per grid step; coefficient counts are dim-derived
     # (nkv = nkn = dim, nkd = dim + 1) so the dict stays jit-transparent
-    segs = ([(va[k][b], Q) for k in range(nkv) for b in range(dim)]
-            + [(w_q[None, :] * c, Q) for c in det_c]
-            + [(a, FQ) for a in vn])
-    P = jnp.zeros((E, len(segs) * S), dtype)
-    for i, (a, n) in enumerate(segs):
-        P = P.at[:, i * S:i * S + n].set(a)
-    return dict(P=P)
+    va_segs = [(va[k][b], Q) for k in range(nkv) for b in range(dim)]
+    wd_segs = [(w_q[None, :] * c, Q) for c in det_c]
+    vn_segs = [(a, FQ) for a in vn]
+
+    def pack(segs, dt_):
+        M = jnp.zeros((E, len(segs) * S), dt_)
+        for i, (a, n) in enumerate(segs):
+            M = M.at[:, i * S:i * S + n].set(a.astype(dt_))
+        return M
+
+    if va_vn_bf16:
+        return dict(P=pack(wd_segs, dtype),
+                    P16=pack(va_segs + vn_segs, jnp.bfloat16))
+    return dict(P=pack(va_segs + wd_segs + vn_segs, dtype))
 
 
 def _wdet_kernel(xs_ref, Gmb_ref, w_q_ref, wdet_ref, *, dim):

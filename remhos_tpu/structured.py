@@ -176,6 +176,54 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
     return jnp.stack(outs, axis=1)
 
 
+def overlap_stencil_flat(el_min, el_max, shape, periodic):
+    """Element-class overlap-bounds stencil ([E, 3^dim] min, max) via flat
+    ELEMENT-AXIS rolls: equals overlap_bounds_structured(..., p=2)
+    bit-for-bit (tested) with no grid reshape / class-axis transpose.
+    Every shift of the partially reduced work arrays is a major-axis roll
+    (two free slices) plus an edge-row select — the same pattern measured
+    8x faster than grid-dim rolls for the face gather (_flat_face_rolls);
+    the trace attribution showed the grid-roll stencil at 60.9 us/stage,
+    the largest single glue bucket (docs/PERF.md round-4 notes)."""
+    dim = len(shape)
+    E = int(np.prod(shape))
+    strides = [1]
+    for a in range(1, dim):
+        strides.append(strides[-1] * shape[a - 1])
+    Wmin, Wmax = el_min[:, None], el_max[:, None]
+    for axis in range(dim):
+        s, n = strides[axis], shape[axis]
+        segs_min, segs_max = [Wmin], [Wmax]
+        for side in (0, 1):
+            dirn = 1 if side == 1 else -1
+            nmin = jnp.roll(Wmin, -dirn * s, axis=0)
+            nmax = jnp.roll(Wmax, -dirn * s, axis=0)
+            edge = _edge_mask(E, shape, axis, side)
+            if periodic[axis]:
+                wrap = dirn * (n - 1) * s
+                nmin = jnp.where(edge[:, None],
+                                 jnp.roll(Wmin, wrap, axis=0), nmin)
+                nmax = jnp.where(edge[:, None],
+                                 jnp.roll(Wmax, wrap, axis=0), nmax)
+            else:
+                nmin = jnp.where(edge[:, None], INF, nmin)
+                nmax = jnp.where(edge[:, None], -INF, nmax)
+            nmin = jnp.minimum(Wmin, nmin)
+            nmax = jnp.maximum(Wmax, nmax)
+            if side == 0:
+                segs_min.insert(0, nmin)
+                segs_max.insert(0, nmax)
+            else:
+                segs_min.append(nmin)
+                segs_max.append(nmax)
+        # class axis grows 1 -> 3 -> 9 -> 27 with the NEW class slowest,
+        # so the final column index is cz*9 + cy*3 + cx (x fastest) —
+        # identical to the grid path's reversed-perm reshape
+        Wmin = jnp.concatenate(segs_min, axis=1)
+        Wmax = jnp.concatenate(segs_max, axis=1)
+    return Wmin, Wmax
+
+
 def overlap_bounds_structured(el_min, el_max, shape, periodic, p,
                               active_el=None, last_axis_exchange=None,
                               last_axis_edges=None, axis_exchanges=None):

@@ -242,6 +242,45 @@ def test_fused_stage_ho_interpret():
         < 1e-9 * scale
 
 
+def test_poly_bf16_split_stream():
+    """P-stream precision experiment (build_poly_tables va_vn_bf16): the
+    split bf16 va/vn operand reproduces the f32 path to bf16 scale on du
+    while wdet — which stays f32 because it feeds the lumped mass — is
+    bit-identical. docs/PERF.md 'P-stream precision'."""
+    from remhos_tpu.ops import pallas_kernels as pk
+
+    for dims, shape in ((3, (4, 4, 4)), (2, (6, 6))):
+        m = make_cartesian_mesh(dims, shape, (0,) * dims, (1,) * dims,
+                                (False,) * dims)
+        disc = build_discretization(m, p=3)
+        x0 = jnp.asarray(m.x, jnp.float32)
+        v = (0.1 * jnp.sin(x0)).astype(jnp.float32)
+        rng = np.random.default_rng(5)
+        E = m.num_elements
+        u = jnp.asarray(rng.standard_normal((E, disc.nd)), jnp.float32)
+        tables = pk.stage_ho_tables(disc, jnp.float32)
+        from remhos_tpu.operator import Advection, SolverConfig
+        adv = Advection(disc, SolverConfig(problem=10, ho=3, lo=5, fct=2,
+                                           pa=True), x0, v, None,
+                        dtype=jnp.float32)
+        u_nbr = adv.gather_nbr(u).reshape(E, -1)
+        t = jnp.float32(0.37)
+        p32 = pk.build_poly_tables(x0, v, disc)
+        p16 = pk.build_poly_tables(x0, v, disc, va_vn_bf16=True)
+        assert p16["P16"].dtype == jnp.bfloat16
+        du32, wd32 = pk.fused_stage_ho_poly(t, u, u_nbr, p32, tables,
+                                            dim=dims, mode=1.0, block_e=64,
+                                            interpret=True)
+        du16, wd16 = pk.fused_stage_ho_poly(t, u, u_nbr, p16, tables,
+                                            dim=dims, mode=1.0, block_e=64,
+                                            interpret=True)
+        assert np.array_equal(np.asarray(wd32), np.asarray(wd16))
+        scale = np.abs(np.asarray(du32)).max()
+        err = np.abs(np.asarray(du16) - np.asarray(du32)).max()
+        # bf16 rounding of va/vn: ~4e-3 relative on the advective RHS
+        assert 1e-7 * scale < err < 3e-2 * scale, err
+
+
 def test_rk6_tableau_is_mfem_verner():
     """The -s 6 tableau must be MFEM's RK6Solver (Verner 8-stage, order 6):
     validate row sums, quadrature conditions through order 6, deeper order
@@ -316,6 +355,32 @@ def test_bounds_stencil_expansion_exact():
         EXP = np.asarray(pk.stage_ho_tables(disc, None)["EXP"])
         for got, want in zip(st, ref):
             assert np.array_equal(np.asarray(got) @ EXP, np.asarray(want))
+
+
+def test_overlap_stencil_flat_matches_grid():
+    """overlap_stencil_flat (element-axis rolls, no grid reshape) must be
+    bit-identical to the grid-roll element-class stencil
+    overlap_bounds_structured(..., p=2) — the identity that lets the hot
+    path drop the reshape/transpose glue (docs/PERF.md round-4 notes)."""
+    from remhos_tpu import structured as strm
+
+    cases = [(3, (4, 3, 2), (False,) * 3),
+             (3, (4, 4, 4), (True,) * 3),
+             (3, (5, 3, 4), (True, False, True)),
+             (2, (5, 4), (False, True)),
+             (2, (6, 6), (True, True)),
+             (1, (7,), (False,)),
+             (1, (6,), (True,))]
+    rng = np.random.default_rng(11)
+    for dim, shape, per in cases:
+        E = int(np.prod(shape))
+        el_min = jnp.asarray(rng.standard_normal(E))
+        el_max = el_min + jnp.asarray(rng.random(E))
+        ref = strm.overlap_bounds_structured(el_min, el_max, shape, per, 2)
+        got = strm.overlap_stencil_flat(el_min, el_max, shape, per)
+        for g, w in zip(got, ref):
+            assert np.array_equal(np.asarray(g), np.asarray(w)), (dim, shape,
+                                                                  per)
 
 
 def test_compensated_rk_matches_plain():
