@@ -74,12 +74,16 @@ def boundary_node_mask(mesh, ref_nodes_u) -> np.ndarray:
 def subcell_node_setup(adv):
     """(x0_sub[E,nd,dim], v_sub[E,nd,dim] or None) for the Advection op."""
     disc = adv.disc
-    Bm_at_u = jnp.asarray(disc.Bm_at_unodes)
+    # everything downstream (sub_w -> RD-subcell du -> the state) must
+    # stay in the operator's working precision: the f64 reference tables
+    # / problem functions would otherwise silently promote the f32 state
+    dtype = adv.x0_nodes.dtype
+    Bm_at_u = jnp.asarray(disc.Bm_at_unodes, dtype)
     x0_sub = jnp.einsum("end,mn->emd", adv.x0_nodes, Bm_at_u)
     v_sub = None
     if adv.cfg.exec_mode == 1:
         v = prob.velocity_function(adv.cfg.problem, x0_sub, adv.bb_min,
-                                   adv.bb_max)
+                                   adv.bb_max).astype(dtype)
         # sharded operators pre-compute the mask in GLOBAL context (a
         # shard's interface to its neighbor is NOT a physical boundary);
         # see ShardedAdvection._shard_boundary_mask / gsharded
@@ -108,7 +112,7 @@ def subcell_weights(adv, t):
         sign = -1.0
 
     corners = xs[:, sub2ind]                              # [E, ns, 2^d, dim]
-    Gc = jnp.asarray(q1_center_grads(dim))                # [2^d, dim]
+    Gc = jnp.asarray(q1_center_grads(dim), xs.dtype)      # [2^d, dim]
     J_c = jnp.einsum("esjd,jb->esdb", corners, Gc)        # [E, ns, dim, dim]
     from .geometry import det_adj
     _, adj = det_adj(J_c)
@@ -119,6 +123,6 @@ def subcell_weights(adv, t):
     else:
         center = corners.mean(axis=2)                     # bilinear at center
         v_c = prob.velocity_function(cfg.problem, center, adv.bb_min,
-                                     adv.bb_max)
+                                     adv.bb_max).astype(xs.dtype)
     av = jnp.einsum("esd,esbd->esb", v_c, adj)            # adjJ v (row form)
     return sign * jnp.einsum("esb,jb->esj", av, Gc)
