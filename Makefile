@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test tests goldens bench native clean
+.PHONY: test tests goldens goldens-sharded goldens-tpu bench native clean
 
 # quick smoke (the reference's `make test`)
 test:
@@ -27,6 +27,19 @@ goldens-sharded:
 	$(PY) tools/run_goldens.py --n-shards 3 --only \
 	    transport-cube-m1 remap-pacman-m3pa remap-cube3d-m5 \
 	    transport-hexagon-m5 product-remap-fe-fct
+
+# TPU production tier: a golden subset on the REAL chip in f32 with the
+# fused Pallas kernels compiled (not interpret mode), compared against
+# the reference baseline at f32-trajectory tolerances. Rows: both remap
+# PA rows (these run the production fused geometry/convection kernels),
+# one transport + one product-remap + one 3D row for method spread.
+# The mega-kernel family (-ho 3 -lo 5 -fct 2) has no reference golden
+# row; its real-chip physics is verified by bench.py (mass/bounds/
+# cross-precision) and its trajectory by the interpret-mode f32 tier.
+goldens-tpu:
+	GOLDEN_PLATFORM=tpu $(PY) tools/run_goldens.py --f32 --pallas --only \
+	    remap-pacman-m3pa remap-cube3d-m3pa transport-ballsjacks-m5 \
+	    product-remap-fe-fct remap-cube3d-m5
 
 # one-line JSON FOM benchmark (runs on the TPU)
 bench:

@@ -39,7 +39,30 @@ def main():
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--n-shards", type=int, default=1)
+    ap.add_argument("--f32", action="store_true",
+                    help="production-precision tier: run every row in "
+                         "f32 and compare against the f64 reference "
+                         "baseline at f32-trajectory tolerances "
+                         "(tests/test_f32_goldens.py scale); loss rows "
+                         "are skipped (f32 losses sit at f32 round-off, "
+                         "not the baseline's f64 scale)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="force use_pallas=True so remap-PA rows run "
+                         "the production fused Pallas kernels (real "
+                         "compiled kernels when GOLDEN_PLATFORM=tpu, "
+                         "interpret mode on CPU)")
     args = ap.parse_args()
+
+    # f32 tier tolerances: the baseline prints 10 significant digits, but
+    # an f32 trajectory only tracks the f64 one to f32-accumulation scale:
+    # ~2e-8/step systematic mass drift (measured: 1.45e-5 over the 667-step
+    # pacman row; the bench loop removes this with Kahan + mass closure,
+    # the plain driver path deliberately does not) and ~1e-3 in pointwise
+    # max (tests/test_f32_goldens scale). mass_tol is resolved per-row
+    # from the step count after the run. Sharpening rows (-fct 4,
+    # interface steepening) amplify pointwise rounding into limiter
+    # decisions — measured 0.74% max divergence on
+    # sharpen-ballsjacks-autodt — so they get a wider pointwise band.
 
     path = os.path.join(os.path.dirname(__file__), "..", "goldens",
                         "reference_goldens.json")
@@ -56,7 +79,13 @@ def main():
             print(f"SKIP {name:28s} (requires {row['requires']})")
             n_skip += 1
             continue
-        cfg = RunConfig(verbose=False, n_shards=args.n_shards, **row["cfg"])
+        extra = {}
+        if args.f32:
+            extra["dtype"] = "float32"
+        if args.pallas:
+            extra["use_pallas"] = True
+        cfg = RunConfig(verbose=False, n_shards=args.n_shards,
+                        **row["cfg"], **extra)
         t0 = time.perf_counter()
         try:
             r = run(cfg)
@@ -76,27 +105,56 @@ def main():
         wall = time.perf_counter() - t0
         ok = True
         msgs = []
+        mass_tol = (max(1e-5, 5e-8 * r.steps) if args.f32 else 5e-10)
+        max_tol = 5e-10
+        if args.f32:
+            max_tol = 1e-2 if row["cfg"].get("fct") == 4 else 1e-3
+        # rows with a physical (limiter-clipped) mass loss: the loss is an
+        # accumulation of per-step limiter decisions, each perturbed at
+        # f32 relative scale, so f32 reproduces the LOSS to a few percent
+        # and the final mass inherits loss * that (measured: us drifts
+        # 1.0e-4 rel on product-remap-fe-fct where loss_us/mass = 1.1e-2)
+        mass_tol_us = mass_tol
+        if args.f32 and row.get("loss_us"):
+            mass_tol_us = max(mass_tol,
+                              0.05 * row["loss_us"] / abs(row["mass_us"]))
         # printed at 10 significant digits in the baseline
-        if "mass" in row and not rel_close(r.final_mass_u, row["mass"], 5e-10):
+        if "mass" in row and not rel_close(r.final_mass_u, row["mass"],
+                                           mass_tol):
             ok = False
             msgs.append(f"mass {r.final_mass_u:.10g} != {row['mass']:.10g}")
-        if "max" in row and not rel_close(r.max_u, row["max"], 5e-10):
+        if "max" in row and not rel_close(r.max_u, row["max"], max_tol):
             ok = False
             msgs.append(f"max {r.max_u:.10g} != {row['max']:.10g}")
         if "mass_us" in row and not rel_close(r.final_mass_us, row["mass_us"],
-                                              5e-10):
+                                              mass_tol_us):
             ok = False
             msgs.append(f"mass_us {r.final_mass_us:.10g} != "
                         f"{row['mass_us']:.10g}")
-        # losses are round-off-accumulation sensitive; order-of-magnitude
-        if "loss_us" in row and not (0.2 * row["loss_us"] <= r.mass_loss_us
-                                     <= 5.0 * row["loss_us"] + 1e-12):
-            ok = False
-            msgs.append(f"loss_us {r.mass_loss_us:.3g} vs {row['loss_us']:.3g}")
-        if "loss" in row and not (0.1 * row["loss"] <= r.mass_loss_u
-                                  <= 10.0 * row["loss"] + 1e-12):
-            ok = False
-            msgs.append(f"loss {r.mass_loss_u:.3g} vs {row['loss']:.3g}")
+        # losses are round-off-accumulation sensitive; order-of-magnitude.
+        # In the f32 tier conservation sits at f32 round-off accumulation
+        # (~1e-7), far above the baseline's f64 scale — bound it instead.
+        if args.f32:
+            # conservation bound: physical loss (the row's own f64-scale
+            # loss, where recorded — e.g. FE-remap rows lose O(1e-3) of u
+            # in f64 too) plus f32 accumulation. A broken f32 FCT/lumping
+            # shows up at 1e-3+ on rows whose baseline loss is round-off.
+            loss_bound = max(1e-5, 5.0 * row.get("loss", 0.0),
+                             5.0 * row.get("loss_us", 0.0))
+            if r.mass_loss_u > loss_bound:
+                ok = False
+                msgs.append(f"f32 conservation broken: {r.mass_loss_u:.3g}")
+        else:
+            if "loss_us" in row and not (
+                    0.2 * row["loss_us"] <= r.mass_loss_us
+                    <= 5.0 * row["loss_us"] + 1e-12):
+                ok = False
+                msgs.append(f"loss_us {r.mass_loss_us:.3g} vs "
+                            f"{row['loss_us']:.3g}")
+            if "loss" in row and not (0.1 * row["loss"] <= r.mass_loss_u
+                                      <= 10.0 * row["loss"] + 1e-12):
+                ok = False
+                msgs.append(f"loss {r.mass_loss_u:.3g} vs {row['loss']:.3g}")
         status = "PASS" if ok else "FAIL"
         print(f"{status} {name:28s} mass={r.final_mass_u:.10g} "
               f"max={r.max_u:.10g} steps={r.steps} [{wall:.1f}s] "
