@@ -187,8 +187,17 @@ def make_loop(step, dt, n_steps, adv, closure=None, closure_inc=None):
     # jit THROUGH adv.bind_poly: the poly geometry tables enter as runtime
     # buffers, not inlined MLIR constants (~226 MB of module text at the
     # bench size — the remote compile helper rejects the request)
+    coefs = None
+    if closure_inc is not None:
+        # t-dependent f64 closure scalars precomputed on the host and fed
+        # as scan xs: the in-loop t^k + length-4 f64 dot chain lowers to
+        # ~112 tiny unfused emulated-f64 ops per step on v5e (measured
+        # 50+ us/stage of op-dispatch overhead in the device trace)
+        coefs = tuple(jnp.asarray(a)
+                      for a in closure_inc.coefs(dt, n_steps))
+
     def run_steps(S, t0):
-        def body(carry, _):
+        def body(carry, cf):
             S, C, t, acc = carry
             # t carried in f64 even on the f32 leg: accumulating t in f32
             # loses 1.6e-7 absolute by step 320 (measured), which shows
@@ -198,10 +207,11 @@ def make_loop(step, dt, n_steps, adv, closure=None, closure_inc=None):
             t_new = t + dt
             if closure_inc is not None:
                 # incremental closure: f32 dots on the step increment,
-                # f64 only on scalars/block sums (make_mass_closure_inc)
+                # f64 only on scalars/block sums (make_mass_closure_inc);
+                # cf = this step's precomputed (tk0, dtk, S) f64 scalars
                 S_new, C_new, _, delta = step(S, C, t.astype(S.dtype), dt)
                 c_u, deficit = closure_inc(S_new[0], C_new[0], delta[0],
-                                           t, t_new)
+                                           t, t_new, coefs=cf)
                 C_new = C_new.at[0].set(c_u)
                 acc = acc + jnp.abs(deficit)
             else:
@@ -217,7 +227,7 @@ def make_loop(step, dt, n_steps, adv, closure=None, closure_inc=None):
             return (S_new, C_new, t_new, acc), ()
         (S, C, t, acc), _ = jax.lax.scan(
             body, (S, jnp.zeros_like(S), t0.astype(jnp.float64),
-                   jnp.zeros((), jnp.float64)), None, length=n_steps)
+                   jnp.zeros((), jnp.float64)), coefs, length=n_steps)
         if closure_inc is not None and closure is not None:
             # exact f64 re-anchor, ONCE per run (O(1), ~8 ms): absorbs
             # the incremental tracker's accumulated f32 error (~1e-9
@@ -495,8 +505,11 @@ def main():
             lambda: _sync(tl(S, jnp.asarray(0.0, S.dtype))))
         rep = trc.loop_report(tr, tr_steps, 3)
         k_s = rep["kernel_s_per_stage"]
-        k_calls_per_stage = rep["kernel_calls"] / (tr_steps * 3)
-        k_gbs = (rep["kernel_hbm_bytes"] * k_calls_per_stage
+        # per-stage kernel HBM bytes are the SUM over the stage's actual
+        # custom-call events (each trace event = one execution) — the old
+        # max-per-call x calls estimate attributed the mega kernel's bytes
+        # to every small custom-call too and reported utilization > 1
+        k_gbs = (rep["kernel_hbm_bytes_per_stage"]
                  / max(k_s, 1e-30) / 1e9)
         result["kernel_us_per_stage"] = round(k_s * 1e6, 2)
         result["glue_us_per_stage"] = round(

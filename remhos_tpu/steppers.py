@@ -197,29 +197,64 @@ def make_mass_closure_inc(mlk, sig, block=1024):
     mlkb = jnp.pad(mlk.reshape(K, -1), ((0, 0), (0, pad))
                    ).reshape(K, nb, block)
     sig64 = jnp.asarray(sig, jnp.float64)
-    HI = jax.lax.Precision.HIGHEST
 
-    def close(u, c, delta, t0, t1):
+    def _dots(u, c, delta):
         s1 = (u + c).reshape(-1)                 # post-step state, fl32
         X = jnp.stack([delta.reshape(-1), s1])                  # [2, N]
         X = jnp.pad(X, ((0, 0), (0, pad))).reshape(2, nb, block)
-        # [K, 2, nb] f32 block partials (VPU multiply + in-block tree
-        # reduce); the cross-block sum is exact f64 but SMALL (K*2*nb)
-        parts = jnp.einsum("knb,xnb->kxn", mlkb, X, precision=HI)
-        dots = parts.astype(jnp.float64).sum(-1)                 # [K, 2]
-        t064 = jnp.asarray(t0, jnp.float64)
-        t164 = jnp.asarray(t1, jnp.float64)
-        # Python-int exponents lower to lax.integer_pow (exact multiply
-        # chains); an array exponent would lower to exp(k*log(t)), which
-        # is NaN at t0 = 0 (first step) on TPU.
-        tk0 = jnp.stack([t064 ** k for k in range(K)])
-        tk1 = jnp.stack([t164 ** k for k in range(K)])
-        dM = jnp.dot(tk0, dots[:, 0]) + jnp.dot(tk1 - tk0, dots[:, 1])
+        # [K, 2, nb] f32 block partials as a broadcast VPU multiply +
+        # in-block tree reduce. NOT a dot_general: the [K,nb,block] x
+        # [2,nb,block] batched-dot shape is MXU-hostile (864 tiny 4x2
+        # matmuls; the systolic array is 128x128) and the HIGHEST-
+        # precision einsum measured 112.8 us/step on v5e vs 19.1 us for
+        # this form (two-length fit, /tmp/probe_closure4) at identical
+        # accuracy (rel 1.4e-7 — f32 block-dot rounding either way).
+        # The cross-block sum is exact f64 but SMALL (K*2*nb).
+        parts = (mlkb[:, None] * X[None]).sum(-1)
+        return parts.astype(jnp.float64).sum(-1)                 # [K, 2]
+
+    def close(u, c, delta, t0, t1, coefs=None):
+        dots = _dots(u, c, delta)
+        if coefs is not None:
+            # hot-loop form: the t-dependent f64 scalars are precomputed
+            # on the HOST (closure_coefs) and enter as scan xs. The
+            # in-loop t^k chains + length-4 f64 dots below lower to ~112
+            # tiny UNFUSED emulated-f64 XLA ops per step on v5e (f64 is
+            # software double-double) — measured 50+ us/stage of pure
+            # op-dispatch overhead in the device trace.
+            tk0, dtk, S = coefs
+            dM = (tk0 * dots[:, 0] + dtk * dots[:, 1]).sum()
+        else:
+            t064 = jnp.asarray(t0, jnp.float64)
+            t164 = jnp.asarray(t1, jnp.float64)
+            # Python-int exponents lower to lax.integer_pow (exact
+            # multiply chains); an array exponent would lower to
+            # exp(k*log(t)), which is NaN at t0 = 0 on TPU.
+            tk0 = jnp.stack([t064 ** k for k in range(K)])
+            tk1 = jnp.stack([t164 ** k for k in range(K)])
+            dM = (tk0 * dots[:, 0] + (tk1 - tk0) * dots[:, 1]).sum()
+            S = jnp.dot(sig64, tk1)
         deficit = -dM
-        S = jnp.dot(sig64, tk1)
         return c + (deficit / S).astype(c.dtype), deficit
 
+    close.coefs = lambda dt, n_steps: closure_coefs(sig, dt, n_steps)
     return close
+
+
+def closure_coefs(sig, dt, n_steps):
+    """Host-precomputed per-step f64 scalars for make_mass_closure_inc:
+    (tk0 [n,K], dtk [n,K], S [n]) with tk0 = t0^k, dtk = t1^k - t0^k,
+    S = <sig, t1^k> at t0 = i*dt, t1 = (i+1)*dt — fed to the scan as xs
+    so the loop contains ZERO in-device f64 scalar-chain ops."""
+    import numpy as np
+    sig = np.asarray(sig, np.float64)
+    K = sig.shape[0]
+    i = np.arange(n_steps, dtype=np.float64)
+    t0 = i * dt
+    t1 = (i + 1.0) * dt
+    tk0 = t0[:, None] ** np.arange(K)
+    tk1 = t1[:, None] ** np.arange(K)
+    return tk0, tk1 - tk0, tk1 @ sig
 
 
 def make_rk_step(f, kind: int, compensated: bool = False,

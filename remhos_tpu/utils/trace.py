@@ -109,6 +109,7 @@ def loop_report(trace, n_calls, stages_per_call):
     buckets = {}
     kernel_us = 0.0
     kernel_hbm = 0
+    kernel_hbm_sum = 0.0
     kernel_calls = 0
     glue_hbm = 0.0
     glue_bytes = 0.0
@@ -128,6 +129,12 @@ def loop_report(trace, n_calls, stages_per_call):
             kernel_calls += 1
             hbm, _ = hbm_bytes_of_op(args.get("long_name", ""))
             kernel_hbm = max(kernel_hbm, hbm)
+            # per-EVENT sum: each trace event is one dynamic execution,
+            # so the sum over events IS the loop's total kernel HBM
+            # traffic. (The old max-per-call x n_calls estimate in
+            # bench.py attributed the LARGEST call's bytes to every
+            # custom-call and reported a >1 utilization.)
+            kernel_hbm_sum += hbm
             continue
         src = args.get("source", "")
         base = os.path.basename(src.split(":")[0]) if src else "(xla)"
@@ -140,11 +147,12 @@ def loop_report(trace, n_calls, stages_per_call):
         except (TypeError, ValueError):
             pass
     stage_s = total_us * 1e-6 / max(n_stages, 1)
-    hbm_per_stage = (kernel_hbm * kernel_calls + glue_hbm) / max(n_stages, 1)
+    hbm_per_stage = (kernel_hbm_sum + glue_hbm) / max(n_stages, 1)
     rep = {
         "kernel_s_per_stage": kernel_us * 1e-6 / max(n_stages, 1),
         "kernel_calls": kernel_calls,
-        "kernel_hbm_bytes": kernel_hbm,          # per kernel call
+        "kernel_hbm_bytes": kernel_hbm,          # largest single call
+        "kernel_hbm_bytes_per_stage": kernel_hbm_sum / max(n_stages, 1),
         "glue_s_per_stage": (total_us - kernel_us) * 1e-6 / max(n_stages, 1),
         "glue_hbm_bytes_per_stage": glue_hbm / max(n_stages, 1),
         "glue_bytes_per_stage": glue_bytes / max(n_stages, 1),
