@@ -155,3 +155,35 @@ def test_mass_closure_incremental_tracks_and_anchors():
     # one exact f64 anchor pins the residual to round-off
     c_end, _ = close_full(u, c, jnp.float64(t))
     assert abs(true_mass(u, c_end, t) - m0) / abs(m0) < 1e-12
+
+
+def test_mass_closure_inc_coefs_matches_scalar_path():
+    """The hot-loop form (host-precomputed (tk0, dtk, S) per-step scalars,
+    steppers.closure_coefs) must agree with the in-device t^k scalar
+    chain to f64 round-off: same block dots, only the scalar-combination
+    arithmetic differs (one fused multiply-reduce vs integer_pow chains,
+    which cost ~50 us/stage of emulated-f64 dispatch on v5e)."""
+    disc, x0, v = _case(3, (3, 3, 3), 2, seed=7)
+    mlk, sig = geo.lumped_mass_poly(x0, v, disc)
+    mlk32 = mlk.astype(jnp.float32)
+    sig_np = np.asarray(sig)
+    rng = np.random.default_rng(8)
+    u = jnp.asarray(rng.uniform(0.1, 1.0, mlk.shape[1:]), jnp.float32)
+    c = jnp.zeros_like(u)
+    close_inc = steppers.make_mass_closure_inc(mlk32, sig_np, block=256)
+    n_steps, dt = 7, 1e-2
+    tk0, dtk, S = close_inc.coefs(dt, n_steps)
+    for i in range(n_steps):
+        delta = jnp.asarray(
+            rng.standard_normal(u.shape) * 1e-3 * np.abs(np.asarray(u)),
+            jnp.float32)
+        u2, c2 = steppers.kahan_add(u, c, delta)
+        t0, t1 = i * dt, (i + 1) * dt
+        c_a, d_a = close_inc(u2, c2, delta, t0, t1)
+        c_b, d_b = close_inc(u2, c2, delta, t0, t1,
+                             coefs=(jnp.asarray(tk0[i]), jnp.asarray(dtk[i]),
+                                    jnp.asarray(S[i])))
+        assert abs(float(d_a) - float(d_b)) <= 1e-14 * max(
+            abs(float(d_a)), 1e-30) + 1e-18
+        assert float(jnp.abs(c_a - c_b).max()) == 0.0
+        u, c = u2, c_b
