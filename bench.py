@@ -179,7 +179,8 @@ def build_case():
     step = steppers.make_rk_step(adv.stage_function(), 3, compensated=True,
                                  with_delta=closure_inc is not None)
     ctx = dict(mesh=mesh, scfg=scfg, order=order, x0=x0, v=v,
-               w_dtype=w_dtype, closure=closure, closure_inc=closure_inc)
+               w_dtype=w_dtype, closure=closure, closure_inc=closure_inc,
+               mlk32=(mlk32 if closure is not None else None))
     return adv, adv64, step, jnp.stack([u0]), dt, use_pallas, ctx
 
 
@@ -240,7 +241,8 @@ def make_loop(step, dt, n_steps, adv, closure=None, closure_inc=None):
     return adv.bind_poly(run_steps)
 
 
-def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None):
+def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None,
+           metric32=None):
     """Invariant checks on the benched state; raises on failure. Uses the
     f64 verification operator so the check measures the trajectory.
 
@@ -250,7 +252,19 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None):
     closure's own injection total is budgeted against the known physical
     drift scale (GCL temporal error + f32 stage rounding) — so a genuine
     conservation bug (broken FCT/lumping, 1e-3+) still fails, it just
-    fails the injection budget instead of the mass check."""
+    fails the injection budget instead of the mass check.
+
+    metric32 (closed mode): the closure's own f32 mlk poly planes. The
+    closure pins <ml32(t), u+c> exactly, while this check measures
+    <ml64(t), u+c> — so the irreducible residual IS the metric-mismatch
+    functional  <ml64(T)-ml32(T), uT> - <ml64(0)-ml32(0), u0>,  which is
+    COMPUTED here in f64 and used as the tolerance (plus an anchor/
+    round-off floor) instead of an empirical constant: the old fixed
+    2e-9 was calibrated at p=3 and failed at p=4 where the f32
+    quantization of the rougher Bernstein mass coefficients is larger
+    (measured 5.6e-9). A genuine conservation bug adds mass the metric
+    terms cannot see (they are eps_f32-of-the-metric scale by
+    construction), so the check stays sharp."""
     # jit: eager geometry picks pathological padded layouts on TPU
     # (a [E,3,216,3] temp padded 42x -> OOM)
     mlfn = jax.jit(adv64.lumped_mass)
@@ -283,12 +297,29 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None):
     inj_rel = None
     if injected is not None:
         # closed mode: the state invariant must hold at round-off — the
-        # f32 quantization of the closure's metric (eps_f32/sqrt(ndofs))
-        # + the poly-vs-assembled-metric mismatch (~1e-13)
+        # f32 quantization of the closure's metric + the poly-vs-
+        # assembled-metric mismatch (~1e-13), measured directly below
         inj_rel = injected / abs(mass0)
         assert inj_rel < drift_budget, \
             f"mass closure absorbed too much: {inj_rel:g} (conservation bug?)"
         tol = 2e-9 + 3e-12 * n_steps
+        if metric32 is not None:
+            T = n_steps * dt
+
+            @jax.jit
+            def _mismatch(m32, ml0, mlT, u0, uT):
+                m64 = m32.astype(jnp.float64)
+                tk = jnp.asarray([T ** k for k in range(m32.shape[0])])
+                ml0_p = m64[0].reshape(-1)
+                mlT_p = jnp.tensordot(tk, m64.reshape(m32.shape[0], -1), 1)
+                t0 = ((ml0.reshape(-1) - ml0_p)
+                      * u0.astype(jnp.float64).reshape(-1)).sum()
+                tT = ((mlT.reshape(-1) - mlT_p)
+                      * uT.reshape(-1)).sum()
+                return tT - t0
+
+            mism = float(_mismatch(metric32, ml0, mlT, S0[0], uT))
+            tol = abs(mism) / abs(mass0) + 2e-10 + 3e-12 * n_steps
     else:
         tol = drift_budget
     assert rel_loss < tol, f"mass conservation broken: rel loss {rel_loss:g}"
@@ -444,7 +475,8 @@ def main():
         rel_loss, inj_rel = verify(adv64, S, S_final, dt, n_steps,
                                    C_final=C_final,
                                    injected=(float(injected)
-                                             if closure else None))
+                                             if closure else None),
+                                   metric32=ctx.get("mlk32"))
         extras["mass_rel_loss"] = round(rel_loss, 12)
         if inj_rel is not None:
             extras["mass_closure_injected_rel"] = round(inj_rel, 12)
