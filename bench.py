@@ -46,8 +46,14 @@ estimate from XLA's cost analysis. Environment knobs:
                  the mass-closure injection budget + cross check)
 
 Baseline: the only absolute number recorded in the reference repo is the
-dev-machine run in remhos_tests.cpp:53-58 -> total FOM ~= 2.31 MDOF*steps/s
-(2.56M dofs * 5 steps / 5.537 s). vs_baseline is measured against that.
+dev-machine run in remhos_tests.cpp:53-58. The reference multiplies its
+step count by the RK stage count BEFORE computing the FOM
+(remhos.cpp:1340-1347: `case 3: ti *= 3` for the default RK3), so on the
+same stage-counting basis as our numerator that run is
+2.56M dofs * 5 steps * 3 stages / 5.537 s ~= 6.94 MDOF*stages/s.
+vs_baseline is measured against that. (Rounds 1-4 used 2.312 — the
+step-counting number — against a stage-counting numerator, inflating
+every vs_baseline 3x; fixed per the round-4 verdict.)
 """
 
 import json
@@ -86,7 +92,11 @@ if DTYPE == "float32":
     jax.config.update("jax_default_matmul_precision", "float32")
 _TAG = "f64" if DTYPE == "float64" else "f32"
 
-BASELINE_FOM = 2.312    # MDOF*steps/s, remhos_tests.cpp:53-58
+# Reference dev-run FOM on the stage-counting basis the reference itself
+# uses (remhos.cpp:1340-1347 multiplies steps by RK stages; remhos_tests.
+# cpp:53-58 records 2.56M dofs, 5 steps, default RK3, 5.537 s):
+#   2.56 * 5 * 3 / 5.537 = 6.935 MDOF*stages/s
+BASELINE_FOM = 6.935
 PEAK_BF16_TFLOPS = 197.0   # TPU v5e MXU peak (bf16)
 PEAK_HBM_GBS = 819.0       # TPU v5e HBM bandwidth
 
@@ -153,16 +163,21 @@ def build_case():
         from remhos_tpu import geometry as geo
         mlk, sig = jax.jit(lambda a, b: geo.lumped_mass_poly(a, b, disc))(
             x0, v)
-        mlk32 = mlk.astype(w_dtype)
+        mlk32 = jax.jit(lambda m: m.astype(w_dtype))(mlk)
         import numpy as np
         sig_np = np.asarray(sig)
     if w_dtype is not None:
-        x0, v, u0 = x0.astype(w_dtype), v.astype(w_dtype), u0.astype(w_dtype)
+        x0, v, u0 = jax.jit(
+            lambda *a: tuple(x.astype(w_dtype) for x in a))(x0, v, u0)
     closure_inc = None
     if w_dtype is not None and _env_on("BENCH_CLOSURE"):
         from remhos_tpu import steppers as _st
-        m0 = float(mlk32[0].astype(jnp.float64).reshape(-1)
-                   @ u0.astype(jnp.float64).reshape(-1))
+        # one jitted dot, not an eager chain: every EAGER op on the axon
+        # platform pays a ~30 s remote per-op compile (measured: this
+        # line as eager ops cost 146 s of the leg's wall)
+        m0 = float(jax.jit(
+            lambda m, u: m.astype(jnp.float64).reshape(-1)
+            @ u.astype(jnp.float64).reshape(-1))(mlk32[0], u0))
         # per-step: the INCREMENTAL closure (f32 block dots on the step
         # delta — the full closure's per-step f64 matvec is 4.9 ms on
         # v5e's emulated f64 and cost 1959 -> 256 FOM); the full f64
@@ -270,13 +285,22 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None,
     mlfn = jax.jit(adv64.lumped_mass)
     ml0 = mlfn(jnp.asarray(0.0))
     mlT = mlfn(jnp.asarray(n_steps * dt))
-    uT = S_final[0].astype(ml0.dtype)
-    if C_final is not None:
+
+    # ONE jitted reduction bundle (eager ops pay ~30 s/op of remote
+    # per-op compile on the axon platform)
+    @jax.jit
+    def _sums(ml0, mlT, u0, uT, cT):
         # the Kahan pair's exact state: u + c is what the integrator
         # (and the closure's invariant) actually carries
-        uT = uT + C_final[0].astype(ml0.dtype)
-    mass0 = float((ml0 * S0[0].astype(ml0.dtype)).sum())
-    massT = float((mlT * uT).sum())
+        uTe = uT.astype(ml0.dtype) + cT.astype(ml0.dtype)
+        return ((ml0 * u0.astype(ml0.dtype)).sum(), (mlT * uTe).sum(),
+                u0.max(), u0.min(), uT.max(), uT.min(), uTe)
+
+    cT = (C_final[0] if C_final is not None
+          else jnp.zeros_like(S_final[0]))
+    m0_, mT_, max0, min0, maxT, minT, uT = _sums(ml0, mlT, S0[0],
+                                                 S_final[0], cT)
+    mass0, massT = float(m0_), float(mT_)
     rel_loss = abs(massT - mass0) / abs(mass0)
     # Remap conservation has a TEMPORAL error: RK3 satisfies the moving-
     # mesh geometric conservation law only to O(dt^4) per step — measured
@@ -324,8 +348,8 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None,
         tol = drift_budget
     assert rel_loss < tol, f"mass conservation broken: rel loss {rel_loss:g}"
     btol = 1e-5 if S0.dtype == jnp.float32 else 1e-10
-    assert float(S_final[0].max()) <= float(S0[0].max()) + btol, "overshoot"
-    assert float(S_final[0].min()) >= float(S0[0].min()) - btol, "undershoot"
+    assert float(maxT) <= float(max0) + btol, "overshoot"
+    assert float(minT) >= float(min0) - btol, "undershoot"
     return rel_loss, inj_rel
 
 
@@ -448,6 +472,10 @@ def main():
     if n_sharded:
         run_steps, S, _perm = make_sharded_loop(ctx, S, dt, n_steps,
                                                 n_sharded)
+        # the sharded loop runs the compensated (Kahan) combine but not
+        # the mass closure: verify against the open-mode drift budget
+        closure = None
+        ctx["mlk32"] = None
     else:
         run_steps = make_loop(step, dt, n_steps, adv, closure=closure,
                               closure_inc=ctx.get("closure_inc"))
@@ -577,82 +605,129 @@ def main():
 
 
 def main_dual():
-    """f32 headline + p4 + f64 reference-precision + sweep in one JSON
-    line, under a wall-clock budget.
+    """f32 headline + p4 + f64 reference-precision + sharded + sweep in
+    one JSON line, under a wall-clock budget.
 
     The f32 leg runs FIRST and its (verified) JSON is printed as soon as
     it exists, so a partial record survives if the driver's time budget
     kills a later leg; every completed leg re-prints the accumulated
     record, so the LAST printed JSON line is always the most complete.
-    BENCH_BUDGET_S (default 1800 s) bounds the whole record: optional
-    legs are skipped (with a note in `legs_skipped`) when the remaining
-    budget is below a conservative cost estimate, so the process exits
-    rc=0 with a complete-as-possible record instead of being killed
-    mid-leg (round 3's rc=124). The persistent compile cache makes warm
-    estimates realistic across rounds."""
+    BENCH_BUDGET_S (default 480 s — the rc=124 kills of rounds 3/4 say
+    the driver's external window is well under the old 1800 default)
+    bounds the whole record two ways: a leg is skipped (recorded in
+    `legs_skipped`) when the remaining budget is below its conservative
+    cost estimate, AND every leg subprocess carries a hard timeout of
+    the remaining budget — a leg that overruns its estimate is killed
+    and recorded as `<tag>:timeout` instead of taking the whole record
+    down with rc=124. The persistent compile cache keeps warm estimates
+    realistic across rounds."""
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
     def remaining():
         return budget - (time.perf_counter() - t_start)
 
     vals = {}
     skipped = []
-    n_steps = int(os.environ.get("BENCH_STEPS", "320"))
-    res_dt = os.environ.get("BENCH_DT", "") or repr(0.2 / n_steps)
-    # conservative cold-compile cost estimates (s); warm runs are much
-    # cheaper, so these only gate when the budget is genuinely tight
-    legs = [("float32", {}, 0.0)]
-    if _env_on("BENCH_P4"):
-        # the BASELINE.md target point (p=4 3D PA): f32, mass/bounds
-        # verified (the f32-vs-f64 state cross-check runs on the p=3 leg;
-        # a second full f64 compile would double the bench budget)
-        legs.append(("p4", dict(BENCH_DTYPE="float32", BENCH_P="4",
-                                BENCH_PHASES="0", BENCH_CROSSCHECK="0",
-                                BENCH_TRACE="0"), 240.0))
-    # f64 leg at the f32 leg's dt; 40 steps (latency-honest: the 26 ms
-    # fixed dispatch is < 2% of an f64 40-step wall, vs ~35% at 2 steps)
-    legs.append(("float64", dict(BENCH_DTYPE="float64", BENCH_PHASES="0",
-                                 BENCH_TRACE="0", BENCH_DT=res_dt,
-                                 BENCH_STEPS=os.environ.get(
-                                     "BENCH_STEPS_F64", "40")), 240.0))
-    for tag, overrides, cost in legs:
-        if tag != "float32" and remaining() < cost:
+
+    def run_leg(tag, overrides, cost, required=False):
+        """Run one leg subprocess, hard-bounded by the remaining budget.
+        Returns the leg's parsed JSON (or {})."""
+        if not required and remaining() < cost:
             skipped.append(tag)
             print(f"({tag} leg skipped: {remaining():.0f} s left "
                   f"< {cost:.0f} s estimate)", file=sys.stderr)
-            continue
+            return {}
         env = dict(os.environ)
-        env["BENCH_DTYPE"] = "float32" if tag == "float32" else \
-            overrides.get("BENCH_DTYPE", "float64")
         env["BENCH_DUAL"] = "0"
         env.update(overrides)
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True)
+        try:
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True,
+                                 timeout=max(60.0, remaining()))
+        except subprocess.TimeoutExpired:
+            skipped.append(f"{tag}:timeout")
+            print(f"({tag} leg killed at the budget boundary)",
+                  file=sys.stderr)
+            return {}
+        src = {}
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                vals[tag] = json.loads(line)
+                src = json.loads(line)
         err = out.stderr.strip().splitlines()
         print(err[-1] if err else f"({tag}: no output)", file=sys.stderr)
         if out.returncode != 0:
             print(out.stderr[-2000:], file=sys.stderr)
-            if tag == "float32":
-                sys.exit(1)     # p4/f64 legs are additive; keep the record
-        if tag == "float32" and "float32" in vals:
-            print(json.dumps(vals["float32"]), flush=True)
-    f32 = vals.get("float32", {})
-    f64 = vals.get("float64", {})
+            if required:
+                sys.exit(1)
+            skipped.append(f"{tag}:failed")
+        if src:
+            vals[tag] = src
+        return src
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "320"))
+    res_dt = os.environ.get("BENCH_DT", "") or repr(0.2 / n_steps)
+
+    # Leg order = the round-4 verdict's record priority: headline f32,
+    # then the BASELINE.md p=4 target point, then f64 reference
+    # precision, then the sharded-production overhead, then the sweep.
+    # Cost estimates are conservative COLD-compile numbers; warm runs
+    # (persistent cache) are far cheaper, so they only gate when the
+    # budget is genuinely tight.
+    f32 = run_leg("float32", dict(BENCH_DTYPE="float32"), 0.0,
+                  required=True)
     result = dict(f32)
-    p4 = vals.get("p4")
-    if p4:
-        result["p4_value"] = p4.get("value", 0.0)
-        result["p4_ndofs"] = p4.get("ndofs", 0)
-        result["p4_mass_rel_loss"] = p4.get("mass_rel_loss", None)
-        result["p4_hbm_util"] = p4.get("hbm_util_model",
-                                       p4.get("hbm_util"))
+    result["baseline_fom"] = BASELINE_FOM
+    print(json.dumps(result), flush=True)
+
+    def flush():
+        result["record_wall_s"] = round(time.perf_counter() - t_start, 1)
+        if skipped:
+            result["legs_skipped"] = sorted(set(skipped))
+        print(json.dumps(result), flush=True)
+
+    p4 = {}
+    if _env_on("BENCH_P4"):
+        # the BASELINE.md target point (p=4 3D PA): f32, mass/bounds
+        # verified (the f32-vs-f64 state cross-check runs on the p=3 leg;
+        # a second full f64 compile would double the bench budget)
+        p4 = run_leg("p4", dict(BENCH_DTYPE="float32", BENCH_P="4",
+                                BENCH_PHASES="0", BENCH_CROSSCHECK="0",
+                                BENCH_TRACE="0"), 120.0)
+        if p4:
+            result["p4_value"] = p4.get("value", 0.0)
+            result["p4_ndofs"] = p4.get("ndofs", 0)
+            result["p4_mass_rel_loss"] = p4.get("mass_rel_loss", None)
+            result["p4_hbm_util"] = p4.get("hbm_util_model",
+                                           p4.get("hbm_util"))
+            flush()
+
+    # f64 leg at the f32 leg's dt; 40 steps (latency-honest: the 26 ms
+    # fixed dispatch is < 2% of an f64 40-step wall, vs ~35% at 2 steps)
+    f64 = run_leg("float64", dict(BENCH_DTYPE="float64", BENCH_PHASES="0",
+                                  BENCH_TRACE="0", BENCH_DT=res_dt,
+                                  BENCH_STEPS=os.environ.get(
+                                      "BENCH_STEPS_F64", "40")), 100.0)
     result["f64_value"] = f64.get("value", 0.0)
     result["f64_vs_baseline"] = f64.get("vs_baseline", 0.0)
     result["f64_mass_rel_loss"] = f64.get("mass_rel_loss", None)
+    flush()
+
+    if _env_on("BENCH_SHARDED_LEG"):
+        # the sharded-production overhead leg (round-4 verdict #5): the
+        # IDENTICAL loop under a 1-device shard_map on the real chip —
+        # collective plumbing + halo-mode gathers + per-dispatch poly
+        # build, measured against the unsharded headline
+        sh = run_leg("shardmap", dict(BENCH_DTYPE="float32",
+                                      BENCH_SHARDED="1", BENCH_PHASES="0",
+                                      BENCH_CROSSCHECK="0",
+                                      BENCH_TRACE="0"), 100.0)
+        if sh and f32.get("value"):
+            result["shardmap_value"] = sh.get("value", 0.0)
+            result["shardmap_mass_rel_loss"] = sh.get("mass_rel_loss")
+            result["shardmap_overhead_vs_unsharded"] = round(
+                1.0 - sh.get("value", 0.0) / f32["value"], 4)
+            flush()
 
     # default ON: the recorded artifact carries the size/order sweep
     # (partial records are printed incrementally, so a timeout still
@@ -660,51 +735,58 @@ def main_dual():
     if _env_on("BENCH_SWEEP", "1"):
         # size/order sweep (verified f32 points, shorter loops): where
         # does throughput plateau vs problem size, and the BASELINE.md
-        # p=4 target at scale. (N, p) of the main legs are reused.
+        # p=4 target at scale. (N, p) of the main legs are reused; the
+        # default extra points are the two NOT covered by the main legs
+        # (BENCH_SWEEP_FULL=1 restores the N=48 p=3 point).
+        pts = [(24, 3), (32, 3), (24, 4), (32, 4)]
+        if _env_on("BENCH_SWEEP_FULL", "0"):
+            pts.insert(2, (48, 3))
         sweep = []
-        for (N, P) in ((24, 3), (32, 3), (48, 3), (24, 4), (32, 4)):
+        for (N, P) in pts:
             if N == 24 and P == 3 and f32:
                 src = f32
             elif N == 24 and P == 4 and p4:
                 src = p4
-            elif remaining() < 150.0:
-                skipped.append(f"sweep N={N} p={P}")
-                print(f"(sweep N={N} p={P} skipped: "
-                      f"{remaining():.0f} s left)", file=sys.stderr)
-                continue
             else:
-                env = dict(os.environ)
-                env.update(BENCH_DTYPE="float32", BENCH_DUAL="0",
-                           BENCH_PHASES="0", BENCH_CROSSCHECK="0",
-                           BENCH_TRACE="0",
-                           BENCH_N=str(N), BENCH_P=str(P),
-                           BENCH_STEPS=os.environ.get("BENCH_STEPS_SWEEP",
-                                                      "80"), BENCH_DT="")
-                out = subprocess.run([sys.executable, __file__], env=env,
-                                     capture_output=True, text=True)
-                src = {}
-                for line in out.stdout.splitlines():
-                    if line.startswith("{"):
-                        src = json.loads(line)
+                src = run_leg(f"sweep N={N} p={P}",
+                              dict(BENCH_DTYPE="float32", BENCH_PHASES="0",
+                                   BENCH_CROSSCHECK="0", BENCH_TRACE="0",
+                                   BENCH_N=str(N), BENCH_P=str(P),
+                                   BENCH_STEPS=os.environ.get(
+                                       "BENCH_STEPS_SWEEP", "80"),
+                                   BENCH_DT=""), 90.0)
                 if not src:
-                    print(f"(sweep N={N} p={P} failed)\n"
-                          + out.stderr[-800:], file=sys.stderr)
                     continue
             sweep.append({"N": N, "p": P, "ndofs": src.get("ndofs"),
                           "value": src.get("value"),
                           "verified": src.get("verified", False),
                           "hbm_util": src.get("hbm_util_model",
                                               src.get("hbm_util"))})
-            print(json.dumps(result | {"sweep": sweep}), flush=True)
-        result["sweep"] = sweep
+            result["sweep"] = sweep
+            flush()
         if sweep:
             best = max(sweep, key=lambda r: r["value"] or 0.0)
             result["sweep_peak"] = {"N": best["N"], "p": best["p"],
                                     "value": best["value"]}
-    result["record_wall_s"] = round(time.perf_counter() - t_start, 1)
-    if skipped:
-        result["legs_skipped"] = skipped
-    print(json.dumps(result))
+            # full-length verification of the sweep peak (round-4 verdict
+            # stretch #9): the peak point re-run at the headline step
+            # count, mass/bounds verified
+            if (best["N"], best["p"]) not in ((24, 3), (24, 4)) and \
+                    _env_on("BENCH_PEAK_VERIFY"):
+                pk = run_leg("sweep_peak_320",
+                             dict(BENCH_DTYPE="float32", BENCH_PHASES="0",
+                                  BENCH_CROSSCHECK="0", BENCH_TRACE="0",
+                                  BENCH_N=str(best["N"]),
+                                  BENCH_P=str(best["p"]),
+                                  BENCH_STEPS=str(n_steps),
+                                  BENCH_DT=""), 90.0)
+                if pk:
+                    result["sweep_peak_verified"] = {
+                        "N": best["N"], "p": best["p"],
+                        "steps": n_steps, "value": pk.get("value"),
+                        "verified": pk.get("verified", False),
+                        "mass_rel_loss": pk.get("mass_rel_loss")}
+    flush()
 
 
 if __name__ == "__main__":

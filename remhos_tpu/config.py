@@ -49,6 +49,11 @@ class RunConfig:
     profile_dir: str = ""            # -prof: jax.profiler trace of the loop
     use_pallas: bool = False         # fused Pallas kernels (TPU remap PA)
     dtype: str = "float64"
+    closure: bool = True             # f32 conservative mass closure: Kahan-
+                                     # compensated RK combine + per-step pin
+                                     # of <ml(t), u+c> to the t=0 invariant
+                                     # (standard-RK unsharded path; no-op in
+                                     # f64 — see docs/PERF.md)
     verbose: bool = True
 
 
@@ -66,4 +71,8 @@ class RunResult:
     mass_loss_us: float = 0.0
     residual: float = 0.0
     l1_error: float = -1.0
+    # |mass| the f32 conservative closure injected over the run, relative
+    # to the initial mass (0 when the closure is off); budgeted against
+    # the known drift scale so the closure cannot hide a conservation bug
+    mass_closure_injected_rel: float = 0.0
     timers: dict | None = None
