@@ -36,10 +36,13 @@ goldens-sharded:
 # The mega-kernel family (-ho 3 -lo 5 -fct 2) has no reference golden
 # row; its real-chip physics is verified by bench.py (mass/bounds/
 # cross-precision) and its trajectory by the interpret-mode f32 tier.
+# The run is RECORDED: output tees into GOLDENS_TPU.dat (the analog of
+# the reference's committed autotest/out_baseline.dat), so the real-chip
+# golden claim is a file in the repo, not a commit message.
 goldens-tpu:
 	GOLDEN_PLATFORM=tpu $(PY) tools/run_goldens.py --f32 --pallas --only \
 	    remap-pacman-m3pa remap-cube3d-m3pa transport-ballsjacks-m5 \
-	    product-remap-fe-fct remap-cube3d-m5
+	    product-remap-fe-fct remap-cube3d-m5 2>&1 | tee GOLDENS_TPU.dat
 
 # one-line JSON FOM benchmark (runs on the TPU)
 bench:

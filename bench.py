@@ -38,9 +38,12 @@ estimate from XLA's cost analysis. Environment knobs:
   BENCH_DTYPE    float32|float64 for a single-precision-mode run
   BENCH_CLOSURE  "0" disables the conservative mass closure (the f32 leg
                  then reports the raw Kahan-combine drift)
-  BENCH_BUDGET_S wall-clock budget for the dual record (default 1800);
+  BENCH_BUDGET_S wall-clock budget for the dual record (default 600);
                  optional legs are skipped (recorded in legs_skipped)
                  rather than letting the driver kill the process
+  BENCH_SHARDED_LEG "0" skips the dual record's shard_map-overhead leg
+  BENCH_SWEEP_FULL "1" adds the N=48 p=3 sweep point
+  BENCH_PEAK_VERIFY "0" skips the full-length sweep-peak verification
   BENCH_POLY_BF16 "1" streams the va/vn poly-geometry planes in bf16
                  (P-stream precision experiment, docs/PERF.md; gated by
                  the mass-closure injection budget + cross check)
@@ -58,23 +61,22 @@ every vs_baseline 3x; fixed per the round-4 verdict.)
 
 import json
 import os
-import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 # x64 stays ON even for the f32 benchmark: the f32 mode is an explicit
 # dtype on the operator (Advection(dtype=f32)), so the f64 verification
-# legs run in the same process family without global-flag flips.
+# legs run in the same process without global-flag flips.
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: the dual record spawns several leg
-# subprocesses whose programs repeat across legs and across driver runs
-# (the f64 2-step crosscheck program in particular is byte-identical to
-# the f64 leg's); caching makes the whole record fit the driver's time
-# budget (round 3's rc=124 was compile-time, not run-time).
+# Persistent compilation cache: best-effort. Measured on the axon
+# platform it does NOT hit across processes (a byte-identical trivial
+# jit recompiled ~36 s in a fresh process), which is why the dual record
+# runs every leg IN-PROCESS (main_dual) rather than as subprocesses —
+# in-process jit caches and one-time device/setup costs are what make
+# the record fit the driver's window.
 _CACHE = os.environ.get("BENCH_CACHE_DIR",
                         os.path.join(os.path.dirname(
                             os.path.abspath(__file__)), ".jax_cache"))
@@ -82,15 +84,19 @@ if _CACHE:
     os.makedirs(_CACHE, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-if DTYPE == "float32":
-    # TPU default matmul precision is single-pass bfloat16 (eps ~8e-3) —
-    # catastrophic for the ill-conditioned Bernstein basis transforms, and
-    # even 3-pass tf32 leaves a systematic ~3e-6/stage conservation bias
-    # (broken volume/face telescoping). Full-f32 (6-pass) costs ~7% on
-    # this bandwidth-bound workload and restores conservation to f32
-    # round-off (docs/PERF.md).
-    jax.config.update("jax_default_matmul_precision", "float32")
-_TAG = "f64" if DTYPE == "float64" else "f32"
+# TPU default matmul precision is single-pass bfloat16 (eps ~8e-3) —
+# catastrophic for the ill-conditioned Bernstein basis transforms, and
+# even 3-pass tf32 leaves a systematic ~3e-6/stage conservation bias
+# (broken volume/face telescoping). Full-f32 (6-pass) costs ~7% on
+# this bandwidth-bound workload and restores conservation to f32
+# round-off (docs/PERF.md). Set unconditionally: f64 contractions are
+# software-emulated at full precision regardless of this flag, so the
+# f64 legs are unaffected (their goldens re-validate that).
+jax.config.update("jax_default_matmul_precision", "float32")
+
+
+def _dtype_str():
+    return os.environ.get("BENCH_DTYPE", "float32")
 
 # Reference dev-run FOM on the stage-counting basis the reference itself
 # uses (remhos.cpp:1340-1347 multiplies steps by RK stages; remhos_tests.
@@ -131,7 +137,7 @@ def build_case():
                                (False, False, False))
     disc = build_discretization(mesh, order)
     use_pallas = _env_on("BENCH_PALLAS") and jax.devices()[0].platform == "tpu" \
-        and DTYPE == "float32"
+        and _dtype_str() == "float32"
     scfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
                         pa=True, use_pallas=use_pallas,
                         # P-stream precision experiment (docs/PERF.md):
@@ -139,7 +145,7 @@ def build_case():
                         poly_bf16=_env_on("BENCH_POLY_BF16", "0"))
     n_steps = int(os.environ.get("BENCH_STEPS", "320"))
     dt = float(os.environ.get("BENCH_DT") or 0.2 / n_steps)
-    w_dtype = jnp.float32 if DTYPE == "float32" else None
+    w_dtype = jnp.float32 if _dtype_str() == "float32" else None
     x0 = jnp.asarray(mesh.x)
     v = _integrate_mesh_velocity(mesh.x, disc.Bm, problem, mesh.bb_min,
                                  mesh.bb_max, 0.7, dt)
@@ -152,6 +158,7 @@ def build_case():
     vcfg = SolverConfig(problem=problem, ho=3, lo=5, fct=2, ode_solver=3,
                         pa=True)
     adv64 = Advection(disc, vcfg, x0, v, None)
+    _STASH["S0_f64"] = jnp.stack([u0])    # pre-cast state (cross check)
     closure = None
     if w_dtype is not None and _env_on("BENCH_CLOSURE"):
         # conservative mass closure (steppers.make_mass_closure): pins
@@ -316,8 +323,12 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None,
     # 8e-9/step systematic + a 1e-7*sqrt(n) random-walk allowance. An
     # actual conservation bug (broken FCT/lumping) shows up at 1e-3+.
     gcl = n_steps * max(5e-7 * (dt / 0.02) ** 4, 3e-11)
+    # f64 floor 2e-8: the GCL constant is problem/resolution-dependent
+    # (measured up to ~8e-9 over 4 coarse-mesh steps at dt=2e-3) — still
+    # 5 orders below the 1e-3+ scale of a real conservation bug
     drift_budget = gcl + (1e-7 * n_steps ** 0.5 + 8e-9 * n_steps
-                          if S0.dtype == jnp.float32 else 0.0)
+                          if S0.dtype == jnp.float32
+                          else 2e-8 + 3e-12 * n_steps)
     inj_rel = None
     if injected is not None:
         # closed mode: the state invariant must hold at round-off — the
@@ -353,25 +364,30 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None,
     return rel_loss, inj_rel
 
 
-def cross_precision_check(S2_f32, dt):
+# cross-leg state stash for the in-process dual record: the f32 leg's
+# 40-step (trace-loop) state and the f64 leg's 40-step state are compared
+# with ZERO extra compiles (same dt, same step count)
+_STASH = {}
+
+
+def cross_precision_check(S2_f32, dt, adv64=None):
     """Compare the f32 2-step state against the f64 2-step state.
-    Catches silently-degenerate f32 hot paths. Uses a pre-computed dump
-    (BENCH_CROSSREF, written by the dual-mode f64 leg) when available to
-    avoid a second full f64 compile; otherwise spawns the f64 run."""
+    Catches silently-degenerate f32 hot paths. Runs the f64 reference
+    steps in-process through the f64 verification operator (adv64)."""
     import numpy as np
-    ref_path = os.environ.get("BENCH_CROSSREF", "")
-    if not (ref_path and os.path.exists(ref_path)):
-        ref_path = "/tmp/bench_f64_2step.npy"
-        env = dict(os.environ)
-        env.update(BENCH_DTYPE="float64", BENCH_CROSSDUMP=ref_path,
-                   BENCH_STEPS="2", BENCH_DUAL="0", BENCH_PHASES="0",
-                   BENCH_VERIFY="0", BENCH_DT=repr(dt))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True)
-        if out.returncode != 0:
-            raise RuntimeError(
-                f"f64 cross-check run failed:\n{out.stderr[-2000:]}")
-    ref = np.load(ref_path)
+    from remhos_tpu import steppers as _st
+    step64 = _st.make_rk_step(adv64.stage_function(), 3)
+
+    def two(S, t0):
+        def body(carry, _):
+            Sc, tc = carry
+            S2, _ = step64(Sc, tc, dt)
+            return (S2, tc + dt), ()
+        (S2, _), _ = jax.lax.scan(body, (S, t0), None, length=2)
+        return S2
+
+    S0 = jnp.asarray(_STASH["S0_f64"], jnp.float64)
+    ref = np.asarray(jax.jit(two)(S0, jnp.asarray(0.0))[0], np.float64)
     got = np.asarray(S2_f32[0], np.float64)
     rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     # the f32-input accuracy floor is ~7e-4 per HO solve (docs/PERF.md);
@@ -492,6 +508,10 @@ def main():
         S_final, C_final, injected = _sync(
             compiled(S, jnp.asarray(0.0, S.dtype)))
         wall = min(wall, time.perf_counter() - t0)
+    # final state stash (keyed by dtype/p/steps/dt): lets the dual record
+    # cross-compare the f32 and f64 legs' states with no extra compiles
+    _STASH[("state", _dtype_str(), os.environ.get("BENCH_P", "3"),
+            n_steps, round(dt, 12))] = S_final
 
     if os.environ.get("BENCH_CROSSDUMP"):
         import numpy as np
@@ -508,18 +528,19 @@ def main():
         extras["mass_rel_loss"] = round(rel_loss, 12)
         if inj_rel is not None:
             extras["mass_closure_injected_rel"] = round(inj_rel, 12)
-        if DTYPE == "float32" and _env_on("BENCH_CROSSCHECK"):
+        if _dtype_str() == "float32" and _env_on("BENCH_CROSSCHECK"):
             two, _, _ = _sync(make_loop(step, dt, 2, adv, closure=closure,
                                         closure_inc=ctx.get("closure_inc"))(
                 S, jnp.asarray(0.0, S.dtype)))
             extras["f32_vs_f64_2step_rel"] = round(
-                cross_precision_check(two, dt), 8)
+                cross_precision_check(two, dt, adv64=adv64), 8)
 
     stages = 3  # RK3: FOM counts stages (remhos.cpp:1340-1347)
     fom = 1e-6 * ndofs * n_steps * stages / wall
     _P = os.environ.get("BENCH_P", "3")
     result = {
-        "metric": f"fom_total_p{_P}_3d_remap_pa_{_TAG}"
+        "metric": "fom_total_p%s_3d_remap_pa_%s" % (
+            _P, "f64" if _dtype_str() == "float64" else "f32")
                   + (f"_shardmap{n_sharded}" if n_sharded else ""),
         "ndofs": ndofs,
         "value": round(fom, 3),
@@ -560,7 +581,9 @@ def main():
         tr_steps = min(n_steps, 40)
         tl = make_loop(step, dt, tr_steps, adv, closure=closure,
                        closure_inc=ctx.get("closure_inc"))
-        _sync(tl(S, jnp.asarray(0.0, S.dtype)))
+        S40, _, _ = _sync(tl(S, jnp.asarray(0.0, S.dtype)))
+        _STASH[("state", _dtype_str(), os.environ.get("BENCH_P", "3"),
+                tr_steps, round(dt, 12))] = S40
         tr = trc.capture_trace(
             lambda: _sync(tl(S, jnp.asarray(0.0, S.dtype))))
         rep = trc.loop_report(tr, tr_steps, 3)
@@ -612,17 +635,21 @@ def main_dual():
     it exists, so a partial record survives if the driver's time budget
     kills a later leg; every completed leg re-prints the accumulated
     record, so the LAST printed JSON line is always the most complete.
-    BENCH_BUDGET_S (default 480 s — the rc=124 kills of rounds 3/4 say
-    the driver's external window is well under the old 1800 default)
-    bounds the whole record two ways: a leg is skipped (recorded in
-    `legs_skipped`) when the remaining budget is below its conservative
-    cost estimate, AND every leg subprocess carries a hard timeout of
-    the remaining budget — a leg that overruns its estimate is killed
-    and recorded as `<tag>:timeout` instead of taking the whole record
-    down with rc=124. The persistent compile cache keeps warm estimates
-    realistic across rounds."""
+
+    Every leg runs IN-PROCESS (a direct main() call under env-var
+    overrides): the axon platform's persistent compile cache does not
+    hit across processes (measured: a byte-identical trivial jit
+    recompiled ~36 s in a fresh process, and each leg subprocess repaid
+    ~3-8 min of device init + eager-op + loop compiles). In-process the
+    legs share device init, the eager-op jit caches, and every repeated
+    program. BENCH_BUDGET_S (default 600 s — the rc=124 kills of rounds
+    3/4 say the driver's external window is well under the old 1800
+    default) gates optional legs: a leg is skipped (recorded in
+    `legs_skipped`) when the remaining budget is below its cost
+    estimate; a leg that fails is recorded as `<tag>:failed` without
+    taking the record down."""
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "600"))
 
     def remaining():
         return budget - (time.perf_counter() - t_start)
@@ -631,39 +658,35 @@ def main_dual():
     skipped = []
 
     def run_leg(tag, overrides, cost, required=False):
-        """Run one leg subprocess, hard-bounded by the remaining budget.
-        Returns the leg's parsed JSON (or {})."""
+        """Run one leg in-process under env overrides; returns its
+        result dict (or {})."""
         if not required and remaining() < cost:
             skipped.append(tag)
             print(f"({tag} leg skipped: {remaining():.0f} s left "
                   f"< {cost:.0f} s estimate)", file=sys.stderr)
             return {}
-        env = dict(os.environ)
-        env["BENCH_DUAL"] = "0"
-        env.update(overrides)
+        saved = {}
+        overrides = dict(overrides, BENCH_DUAL="0")
+        for k, v in overrides.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
         try:
-            out = subprocess.run([sys.executable, __file__], env=env,
-                                 capture_output=True, text=True,
-                                 timeout=max(60.0, remaining()))
-        except subprocess.TimeoutExpired:
-            skipped.append(f"{tag}:timeout")
-            print(f"({tag} leg killed at the budget boundary)",
+            return main()
+        except Exception as e:
+            print(f"({tag} leg failed: {type(e).__name__}: {e})",
                   file=sys.stderr)
-            return {}
-        src = {}
-        for line in out.stdout.splitlines():
-            if line.startswith("{"):
-                src = json.loads(line)
-        err = out.stderr.strip().splitlines()
-        print(err[-1] if err else f"({tag}: no output)", file=sys.stderr)
-        if out.returncode != 0:
-            print(out.stderr[-2000:], file=sys.stderr)
             if required:
-                sys.exit(1)
+                raise
             skipped.append(f"{tag}:failed")
-        if src:
-            vals[tag] = src
-        return src
+            return {}
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            import gc
+            gc.collect()
 
     n_steps = int(os.environ.get("BENCH_STEPS", "320"))
     res_dt = os.environ.get("BENCH_DT", "") or repr(0.2 / n_steps)
@@ -674,7 +697,14 @@ def main_dual():
     # Cost estimates are conservative COLD-compile numbers; warm runs
     # (persistent cache) are far cheaper, so they only gate when the
     # budget is genuinely tight.
-    f32 = run_leg("float32", dict(BENCH_DTYPE="float32"), 0.0,
+    # crosscheck deferred: in dual mode the f32-vs-f64 comparison uses
+    # the two legs' own 40-step states (zero extra compiles) instead of
+    # the standalone 2-step f64 run. Phases (the most compile-heavy
+    # optional measurement, ~6 ablation programs) run LAST so every
+    # other leg lands in the record first.
+    f32 = run_leg("float32", dict(BENCH_DTYPE="float32",
+                                  BENCH_CROSSCHECK="0",
+                                  BENCH_PHASES="0"), 0.0,
                   required=True)
     result = dict(f32)
     result["baseline_fom"] = BASELINE_FOM
@@ -711,6 +741,23 @@ def main_dual():
     result["f64_value"] = f64.get("value", 0.0)
     result["f64_vs_baseline"] = f64.get("vs_baseline", 0.0)
     result["f64_mass_rel_loss"] = f64.get("mass_rel_loss", None)
+
+    # f32-vs-f64 cross-precision check from the two legs' stashed states
+    # (the f32 trace loop and the f64 leg both ran 40 steps at res_dt):
+    # catches silently-degenerate f32 hot paths — the failure modes sit
+    # at 0.3 (bf16-poisoned matmuls) and O(1) (degenerate mass solve)
+    P_ = os.environ.get("BENCH_P", "3")
+    k32 = ("state", "float32", P_, 40, round(float(res_dt), 12))
+    k64 = ("state", "float64", P_, 40, round(float(res_dt), 12))
+    if k32 in _STASH and k64 in _STASH:
+        import numpy as np
+        a = np.asarray(_STASH[k32][0], np.float64)
+        b = np.asarray(_STASH[k64][0], np.float64)
+        rel = float(np.linalg.norm(a - b) / np.linalg.norm(b))
+        result["f32_vs_f64_40step_rel"] = round(rel, 8)
+        if rel > 5e-2:
+            result["crosscheck_failed"] = True
+            result["verified"] = False
     flush()
 
     if _env_on("BENCH_SHARDED_LEG"):
@@ -786,6 +833,19 @@ def main_dual():
                         "steps": n_steps, "value": pk.get("value"),
                         "verified": pk.get("verified", False),
                         "mass_rel_loss": pk.get("mass_rel_loss")}
+                    flush()
+
+    if _env_on("BENCH_PHASES"):
+        # per-phase FOMs last (6 extra ablation-program compiles): the
+        # headline/p4/f64/sharded/sweep legs are already in the record
+        # if the budget runs out here
+        ph = run_leg("phases", dict(BENCH_DTYPE="float32",
+                                    BENCH_PHASES="1", BENCH_TRACE="0",
+                                    BENCH_VERIFY="0", BENCH_REPS="1"),
+                     120.0)
+        for k, v in ph.items():
+            if k.startswith("fom") or k == "dispatch_ms_per_call":
+                result[k] = v
     flush()
 
 
