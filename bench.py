@@ -38,7 +38,7 @@ estimate from XLA's cost analysis. Environment knobs:
   BENCH_DTYPE    float32|float64 for a single-precision-mode run
   BENCH_CLOSURE  "0" disables the conservative mass closure (the f32 leg
                  then reports the raw Kahan-combine drift)
-  BENCH_BUDGET_S wall-clock budget for the dual record (default 600);
+  BENCH_BUDGET_S wall-clock budget for the dual record (default 1100);
                  optional legs are skipped (recorded in legs_skipped)
                  rather than letting the driver kill the process
   BENCH_SHARDED_LEG "0" skips the dual record's shard_map-overhead leg
@@ -71,12 +71,14 @@ import jax.numpy as jnp
 # dtype on the operator (Advection(dtype=f32)), so the f64 verification
 # legs run in the same process without global-flag flips.
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: best-effort. Measured on the axon
-# platform it does NOT hit across processes (a byte-identical trivial
-# jit recompiled ~36 s in a fresh process), which is why the dual record
-# runs every leg IN-PROCESS (main_dual) rather than as subprocesses —
-# in-process jit caches and one-time device/setup costs are what make
-# the record fit the driver's window.
+# Persistent compilation cache: works across processes (verified with
+# jax_explain_cache_misses: hits recorded for every repeated program).
+# What does NOT amortize across processes is the ~30 s device/backend
+# init through the axon tunnel — and init BLOCKS while another process
+# holds the chip (measured: a trivial cache-hit program took 269 s
+# while a benchmark was running, 3.9 s on an idle chip). The dual
+# record therefore runs every leg IN-PROCESS (main_dual): one init,
+# shared eager-op caches, no serialized subprocess queue.
 _CACHE = os.environ.get("BENCH_CACHE_DIR",
                         os.path.join(os.path.dirname(
                             os.path.abspath(__file__)), ".jax_cache"))
@@ -325,8 +327,13 @@ def verify(adv64, S0, S_final, dt, n_steps, C_final=None, injected=None,
     gcl = n_steps * max(5e-7 * (dt / 0.02) ** 4, 3e-11)
     # f64 floor 2e-8: the GCL constant is problem/resolution-dependent
     # (measured up to ~8e-9 over 4 coarse-mesh steps at dt=2e-3) — still
-    # 5 orders below the 1e-3+ scale of a real conservation bug
-    drift_budget = gcl + (1e-7 * n_steps ** 0.5 + 8e-9 * n_steps
+    # 5 orders below the 1e-3+ scale of a real conservation bug.
+    # The f32 systematic term is stage-compute product rounding at
+    # eps_f32 * |du*dt/u| scale — PROPORTIONAL TO dt (measured
+    # 5.3e-9/step at dt=6.25e-4, ~3e-8/step at dt=2.5e-3); the 8e-9
+    # coefficient is calibrated at the 320-step dt.
+    sys_rate = 8e-9 * max(1.0, dt / 6.25e-4)
+    drift_budget = gcl + (1e-7 * n_steps ** 0.5 + sys_rate * n_steps
                           if S0.dtype == jnp.float32
                           else 2e-8 + 3e-12 * n_steps)
     inj_rel = None
@@ -642,14 +649,14 @@ def main_dual():
     recompiled ~36 s in a fresh process, and each leg subprocess repaid
     ~3-8 min of device init + eager-op + loop compiles). In-process the
     legs share device init, the eager-op jit caches, and every repeated
-    program. BENCH_BUDGET_S (default 600 s — the rc=124 kills of rounds
+    program. BENCH_BUDGET_S (default 1100 s — the rc=124 kills of rounds
     3/4 say the driver's external window is well under the old 1800
     default) gates optional legs: a leg is skipped (recorded in
     `legs_skipped`) when the remaining budget is below its cost
     estimate; a leg that fails is recorded as `<tag>:failed` without
     taking the record down."""
     t_start = time.perf_counter()
-    budget = float(os.environ.get("BENCH_BUDGET_S", "600"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1100"))
 
     def remaining():
         return budget - (time.perf_counter() - t_start)
@@ -734,8 +741,11 @@ def main_dual():
 
     # f64 leg at the f32 leg's dt; 40 steps (latency-honest: the 26 ms
     # fixed dispatch is < 2% of an f64 40-step wall, vs ~35% at 2 steps)
+    # REPS=2: an f64 40-step loop runs ~37 s on v5e's software f64 —
+    # 4 reps would spend 150 s re-measuring a number stable to ~1%
     f64 = run_leg("float64", dict(BENCH_DTYPE="float64", BENCH_PHASES="0",
                                   BENCH_TRACE="0", BENCH_DT=res_dt,
+                                  BENCH_REPS="2",
                                   BENCH_STEPS=os.environ.get(
                                       "BENCH_STEPS_F64", "40")), 100.0)
     result["f64_value"] = f64.get("value", 0.0)
@@ -755,7 +765,9 @@ def main_dual():
         b = np.asarray(_STASH[k64][0], np.float64)
         rel = float(np.linalg.norm(a - b) / np.linalg.norm(b))
         result["f32_vs_f64_40step_rel"] = round(rel, 8)
-        if rel > 5e-2:
+        # measured 9.3e-6 at 40 steps; the guarded failure modes sit at
+        # 0.3 (bf16 matmuls) and O(1) (degenerate solve)
+        if rel > 1e-2:
             result["crosscheck_failed"] = True
             result["verified"] = False
     flush()

@@ -225,12 +225,15 @@ class ShardedAdvection(Advection):
 
     def compute_bounds_stencil(self, el_min, el_max):
         """Element-class stencil with the same cross-shard slab exchanges
-        as compute_bounds (3 classes per axis; see the base class)."""
+        as compute_bounds (3 classes per axis; see the base class). Flat
+        element-axis rolls, like the unsharded stencil — the grid-roll
+        variant it used through round 4 was most of the n=1 shard_map
+        overhead (12-17%, docs/PERF.md round-5 notes)."""
         mesh = self.disc.mesh
         if self.cfg.bounds_type != 0:
             return None
-        return strm.overlap_bounds_structured(
-            el_min, el_max, mesh.shape, mesh.periodic, 2,
+        return strm.overlap_stencil_flat(
+            el_min, el_max, mesh.shape, mesh.periodic,
             axis_exchanges=self._bounds_exchanges())
 
     def _sparsity_bounds_halo(self, el_min, el_max, active_el):

@@ -105,14 +105,32 @@ def face_rolls(face_vals, shape, periodic, bdr_value=None, halo=None):
     return outs
 
 
-def _flat_face_rolls(uf, shape, periodic, fd, bdr_value=None):
+def _halo_patch_flat(slab, shape, axis, side):
+    """Flatten a halo edge slab (grid shape with the (axis, side) grid
+    dim collapsed to 1, trailing feature dims kept) into a full flat
+    [E, feat] array that is zero away from that edge: a zero-pad along
+    the grid dim + the free grid->flat reshape — no scatter."""
+    dim = len(shape)
+    gdim = _grid_dim(dim, axis)
+    n = shape[axis]
+    pad = [(0, 0)] * slab.ndim
+    pad[gdim] = (0, n - 1) if side == 0 else (n - 1, 0)
+    full = jnp.pad(slab, pad)
+    E = int(np.prod(shape))
+    return full.reshape(E, -1)
+
+
+def _flat_face_rolls(uf, shape, periodic, fd, bdr_value=None, halo=None):
     """Neighbor face blocks via ELEMENT-AXIS rolls of the flat one-hot
     face trace uf[E, nf*fd]: a major-axis jnp.roll lowers to two free
     slices, so all six face gathers fuse into one pass over uf (grid-dim
     rolls of fd-wide blocks relayout on TPU — 8x slower at E=110k,
     measured). Rows whose flat shift crossed the axis boundary are
     patched: 0/bdr_value on physical edges, the complementary wrap roll
-    on periodic axes. Bit-identical to the grid-reshape path."""
+    on periodic axes, or — in sharded halo mode — the ppermute'd
+    neighbor slab (halo[f], already edge-masked by the caller), padded
+    to a flat edge patch with _halo_patch_flat. Bit-identical to the
+    grid-reshape path."""
     dim = len(shape)
     E = uf.shape[0]
     faces = faces_for_dim(dim)
@@ -125,7 +143,10 @@ def _flat_face_rolls(uf, shape, periodic, fd, bdr_value=None):
         blk = slice(f * fd, (f + 1) * fd)
         r1 = jnp.roll(uf, -dirn * strides[axis], axis=0)[:, blk]
         edge = _edge_mask(E, shape, axis, side)
-        if periodic[axis]:
+        if halo is not None and f in halo:
+            patch = _halo_patch_flat(halo[f], shape, axis, side)
+            nb = jnp.where(edge[:, None], patch, r1)
+        elif periodic[axis]:
             wrap = -dirn * (shape[axis] - 1) * strides[axis]
             r2 = jnp.roll(uf, -wrap, axis=0)[:, blk]
             nb = jnp.where(edge[:, None], r2, r1)
@@ -142,10 +163,12 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
     """u_nbr_face[E, nf, fd] via one one-hot matmul + flat element-axis
     rolls (ExchangeFaceNbrData equivalent).
 
-    halo: optional dict {face_index: slab [nslab, fd]} overriding the edge
-    along the (sharded) last mesh axis; entries may be None (physical
-    edge). Halo mode keeps the grid-reshape rolls (the slab scatter needs
-    the grid edge structure).
+    halo: optional dict {face_index: slab} overriding the edge along the
+    sharded mesh axes; slabs are grid-edge-shaped (the ppermute payload)
+    and already caller-masked. Halo mode uses the same flat element-axis
+    rolls as the unsharded path (the grid-reshape rolls it used through
+    round 4 measured as the bulk of the 12-17% n=1 shard_map overhead);
+    the slab enters as a zero-padded flat edge patch (_halo_patch_flat).
     """
     dim = len(shape)
     E, nd = u.shape
@@ -162,21 +185,18 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
         # HIGHEST: exact for a one-hot matrix (single product per output);
         # DEFAULT would round the values through bf16
         uf = jnp.dot(u, G, precision=jax.lax.Precision.HIGHEST)
-        if halo is None:
-            return jnp.stack(
-                _flat_face_rolls(uf, shape, periodic, fd,
-                                 bdr_value=bdr_value), axis=1)
-        ug = uf.reshape(grid_shape + (nf * fd,))
-        face_vals = [ug[..., f * fd:(f + 1) * fd] for f in range(nf)]
-    else:
-        ug = u.reshape(grid_shape + (nd,))
-        face_vals = [ug[..., nbr_dof_local[f]] for f in range(nf)]
+        return jnp.stack(
+            _flat_face_rolls(uf, shape, periodic, fd,
+                             bdr_value=bdr_value, halo=halo), axis=1)
+    ug = u.reshape(grid_shape + (nd,))
+    face_vals = [ug[..., nbr_dof_local[f]] for f in range(nf)]
     outs = face_rolls(face_vals, shape, periodic, bdr_value=bdr_value,
                       halo=halo)
     return jnp.stack(outs, axis=1)
 
 
-def overlap_stencil_flat(el_min, el_max, shape, periodic):
+def overlap_stencil_flat(el_min, el_max, shape, periodic,
+                         axis_exchanges=None):
     """Element-class overlap-bounds stencil ([E, 3^dim] min, max) via flat
     ELEMENT-AXIS rolls: equals overlap_bounds_structured(..., p=2)
     bit-for-bit (tested) with no grid reshape / class-axis transpose.
@@ -184,22 +204,48 @@ def overlap_stencil_flat(el_min, el_max, shape, periodic):
     (two free slices) plus an edge-row select — the same pattern measured
     8x faster than grid-dim rolls for the face gather (_flat_face_rolls);
     the trace attribution showed the grid-roll stencil at 60.9 us/stage,
-    the largest single glue bucket (docs/PERF.md round-4 notes)."""
+    the largest single glue bucket (docs/PERF.md round-4 notes).
+
+    axis_exchanges: {mesh_axis: (exchange_fn, (has_prev, has_next))} —
+    the sharded mode's cross-shard slab exchange of the PARTIALLY
+    REDUCED work arrays per axis pass (same contract as
+    overlap_bounds_structured); only the slab extraction touches a grid
+    view, the rolls/mins stay flat."""
     dim = len(shape)
     E = int(np.prod(shape))
+    grid_shape = tuple(reversed(shape))
     strides = [1]
     for a in range(1, dim):
         strides.append(strides[-1] * shape[a - 1])
     Wmin, Wmax = el_min[:, None], el_max[:, None]
     for axis in range(dim):
         s, n = strides[axis], shape[axis]
+        exch = (axis_exchanges or {}).get(axis)
+        slabs = {}
+        if exch is not None:
+            exchange_fn, (has_prev, has_next) = exch
+            gdim = _grid_dim(dim, axis)
+            for name, W, worst in (("min", Wmin, INF), ("max", Wmax, -INF)):
+                Wg = W.reshape(grid_shape + (W.shape[1],))
+                bot = Wg[_edge_index(Wg.ndim, gdim, 0)]
+                top = Wg[_edge_index(Wg.ndim, gdim, 1)]
+                fp, fn_ = exchange_fn(bot, top)
+                slabs[name] = (jnp.where(has_prev, fp, worst),
+                               jnp.where(has_next, fn_, worst))
         segs_min, segs_max = [Wmin], [Wmax]
         for side in (0, 1):
             dirn = 1 if side == 1 else -1
             nmin = jnp.roll(Wmin, -dirn * s, axis=0)
             nmax = jnp.roll(Wmax, -dirn * s, axis=0)
             edge = _edge_mask(E, shape, axis, side)
-            if periodic[axis]:
+            if slabs:
+                pmin = _halo_patch_flat(slabs["min"][side], shape, axis,
+                                        side)
+                pmax = _halo_patch_flat(slabs["max"][side], shape, axis,
+                                        side)
+                nmin = jnp.where(edge[:, None], pmin, nmin)
+                nmax = jnp.where(edge[:, None], pmax, nmax)
+            elif periodic[axis]:
                 wrap = dirn * (n - 1) * s
                 nmin = jnp.where(edge[:, None],
                                  jnp.roll(Wmin, wrap, axis=0), nmin)
@@ -221,6 +267,90 @@ def overlap_stencil_flat(el_min, el_max, shape, periodic):
         # identical to the grid path's reversed-perm reshape
         Wmin = jnp.concatenate(segs_min, axis=1)
         Wmax = jnp.concatenate(segs_max, axis=1)
+    return Wmin, Wmax
+
+
+def overlap_stencil_cols(el_min, el_max, shape, periodic):
+    """overlap_stencil_flat computed on SEPARATE 1-D [E] columns, stacked
+    to [E, 3^dim] only at the end. Rationale: the [E, c] partial arrays
+    of the flat variant keep c (1 -> 3 -> 9) on the LANE axis, so every
+    elementwise min/select processes E x 128 padded lanes at <= 7% lane
+    utilization; 1-D columns carry no lane padding and the single final
+    stack is the only wide relayout. Bit-identical to the flat variant
+    (same values, min/max only)."""
+    dim = len(shape)
+    E = int(np.prod(shape))
+    strides = [1]
+    for a in range(1, dim):
+        strides.append(strides[-1] * shape[a - 1])
+    cols_min, cols_max = [el_min], [el_max]
+    for axis in range(dim):
+        s, n = strides[axis], shape[axis]
+        new_min, new_max = [], []
+        edge0 = _edge_mask(E, shape, axis, 0)
+        edge1 = _edge_mask(E, shape, axis, 1)
+        for side, edge in ((0, edge0), (1, edge1)):
+            dirn = 1 if side == 1 else -1
+            sm, sx = [], []
+            for Wm, Wx in zip(cols_min, cols_max):
+                nm = jnp.roll(Wm, -dirn * s)
+                nx = jnp.roll(Wx, -dirn * s)
+                if periodic[axis]:
+                    wrap = dirn * (n - 1) * s
+                    nm = jnp.where(edge, jnp.roll(Wm, wrap), nm)
+                    nx = jnp.where(edge, jnp.roll(Wx, wrap), nx)
+                else:
+                    nm = jnp.where(edge, INF, nm)
+                    nx = jnp.where(edge, -INF, nx)
+                sm.append(jnp.minimum(Wm, nm))
+                sx.append(jnp.maximum(Wx, nx))
+            if side == 0:
+                new_min, new_max = sm, sx
+            else:
+                new_min = new_min + cols_min + sm
+                new_max = new_max + cols_max + sx
+        cols_min, cols_max = new_min, new_max
+    return (jnp.stack(cols_min, axis=1), jnp.stack(cols_max, axis=1))
+
+
+def overlap_stencil_T(el_min, el_max, shape, periodic):
+    """overlap_stencil_flat in CLASS-MAJOR [3^dim, E] layout: E rides the
+    lane axis at full utilization; the neighbor shifts become lane-dim
+    rolls. Returns ([3^dim, E] min, max) — the TRANSPOSE of the flat
+    variant's outputs (same values; the mega kernel's expansion dot
+    contracts dim 0 either way)."""
+    dim = len(shape)
+    E = int(np.prod(shape))
+    strides = [1]
+    for a in range(1, dim):
+        strides.append(strides[-1] * shape[a - 1])
+    Wmin, Wmax = el_min[None, :], el_max[None, :]
+    for axis in range(dim):
+        s, n = strides[axis], shape[axis]
+        edge0 = _edge_mask(E, shape, axis, 0)[None, :]
+        edge1 = _edge_mask(E, shape, axis, 1)[None, :]
+        segs_min, segs_max = [Wmin], [Wmax]
+        for side, edge in ((0, edge0), (1, edge1)):
+            dirn = 1 if side == 1 else -1
+            nmin = jnp.roll(Wmin, -dirn * s, axis=1)
+            nmax = jnp.roll(Wmax, -dirn * s, axis=1)
+            if periodic[axis]:
+                wrap = dirn * (n - 1) * s
+                nmin = jnp.where(edge, jnp.roll(Wmin, wrap, axis=1), nmin)
+                nmax = jnp.where(edge, jnp.roll(Wmax, wrap, axis=1), nmax)
+            else:
+                nmin = jnp.where(edge, INF, nmin)
+                nmax = jnp.where(edge, -INF, nmax)
+            nmin = jnp.minimum(Wmin, nmin)
+            nmax = jnp.maximum(Wmax, nmax)
+            if side == 0:
+                segs_min.insert(0, nmin)
+                segs_max.insert(0, nmax)
+            else:
+                segs_min.append(nmin)
+                segs_max.append(nmax)
+        Wmin = jnp.concatenate(segs_min, axis=0)
+        Wmax = jnp.concatenate(segs_max, axis=0)
     return Wmin, Wmax
 
 

@@ -381,6 +381,16 @@ def test_overlap_stencil_flat_matches_grid():
         for g, w in zip(got, ref):
             assert np.array_equal(np.asarray(g), np.asarray(w)), (dim, shape,
                                                                   per)
+        # layout variants (lane-packing experiments, docs/PERF.md): same
+        # values, different array layouts
+        cols = strm.overlap_stencil_cols(el_min, el_max, shape, per)
+        for g, w in zip(cols, ref):
+            assert np.array_equal(np.asarray(g), np.asarray(w)), (
+                "cols", dim, shape, per)
+        tr = strm.overlap_stencil_T(el_min, el_max, shape, per)
+        for g, w in zip(tr, ref):
+            assert np.array_equal(np.asarray(g).T, np.asarray(w)), (
+                "T", dim, shape, per)
 
 
 def test_compensated_rk_matches_plain():
