@@ -391,17 +391,22 @@ class Advection:
         if not (self.cfg.bounds_type == 0
                 and getattr(mesh, "structured", True)):
             return None
-        # flat element-axis rolls: bit-identical to the grid-roll stencil
-        # (tested) with no grid reshape / class-axis transpose — the
-        # grid-roll variant measured 60.9 us/stage, the largest glue
-        # bucket in the round-4 trace attribution (docs/PERF.md).
-        # REMHOS_FLAT_STENCIL=0 restores the grid-roll path (A/B knob).
+        # 1-D column stencil: bit-identical to the grid-roll stencil
+        # (tested) with no [E, c<=9] lane-padded intermediates — the
+        # grid-roll variant measured 60.9 us/stage (round-4 trace), the
+        # flat [E, c] variant ~26 us (concat/copy chain), the separate
+        # 1-D columns ~3 us (docs/PERF.md round-5 notes).
+        # REMHOS_STENCIL=flat|grid are A/B knobs.
         import os
-        if os.environ.get("REMHOS_FLAT_STENCIL", "1") == "1":
+        v = os.environ.get("REMHOS_STENCIL", "cols")
+        if v == "grid":
+            return strm.overlap_bounds_structured(
+                el_min, el_max, mesh.shape, mesh.periodic, 2)
+        if v == "flat":
             return strm.overlap_stencil_flat(
                 el_min, el_max, mesh.shape, mesh.periodic)
-        return strm.overlap_bounds_structured(
-            el_min, el_max, mesh.shape, mesh.periodic, 2)
+        return strm.overlap_stencil_cols(
+            el_min, el_max, mesh.shape, mesh.periodic)
 
     def bind_poly(self, fn):
         """jit `fn(*args)` with the polynomial geometry tables passed as a
@@ -693,10 +698,33 @@ class Advection:
     def _mega_stage(self, t, dt, S):
         """Single-kernel limited stage: bounds (a function of u alone) in
         XLA, then HO+LO+lumped-mass+ClipScale fused (fused_stage_mega_poly).
-        Only the limited du touches HBM."""
+        Only the limited du touches HBM. On an unsharded structured mesh
+        the stencil runs class-MAJOR ([3^dim, E], overlap_stencil_T — E
+        on the lane axis, so none of the [E, c<=9] lane-padded
+        intermediates of the round-4 flat stencil exist) and feeds the
+        kernel as aligned [3^dim, be] lane blocks. (A fully in-kernel
+        stencil was built and rejected by Mosaic: dynamic lane slices
+        must be 128-aligned — docs/PERF.md round-5 notes.)"""
+        import os
         from .ops import pallas_kernels as pk
         u = S[0]
         el_min, el_max = bnd.elements_min_max(u)
+        mesh = self.disc.mesh
+        t_ok = (self.cfg.bounds_type == 0
+                and getattr(self, "axes_spec", None) is None
+                and getattr(mesh, "structured", True)
+                and os.environ.get("REMHOS_STENCIL", "T") == "T")
+        if t_ok:
+            smin, smax = strm.overlap_stencil_T(el_min, el_max,
+                                                mesh.shape, mesh.periodic)
+            u_nbr = self.gather_nbr(u).reshape(u.shape[0], -1)
+            du = pk.fused_stage_mega_poly(
+                t, dt, u, u_nbr, smin, smax, self._poly,
+                self._stage_tables, dim=self.disc.dim, mode=1.0,
+                bounds_stencil="T")
+            ratio = jnp.asarray(jnp.inf, S.dtype)
+            return jnp.stack([du]), self._aux(ratio,
+                                              jnp.zeros((), jnp.int32))
         stencil = self.compute_bounds_stencil(el_min, el_max)
         if stencil is not None:
             x_min, x_max = stencil

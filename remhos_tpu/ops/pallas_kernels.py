@@ -733,7 +733,7 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
                        A_ref, AT_ref, BglT_ref, Bgl_ref, Bgl2_ref,
                        BuT_ref, BuP_ref, *rest, dim, mode, n_cg, seg,
                        nkv, nkd, nkn, with_t3=False, with_exp=False,
-                       with_p16=False):
+                       with_p16=False, stencil_T=False):
     """The FULL limited stage in one kernel: HO solve + MassBasedAvg LO +
     lumped mass + ClipScale FCT (remhos_fct.cpp:484-539). Emits ONLY the
     limited du — du_HO/du_LO/wdet never touch HBM. Valid on the
@@ -767,10 +767,23 @@ def _stage_mega_kernel(t_ref, u_ref, unbr_ref, P_ref, xmin_ref, xmax_ref,
     # mass-conserving rescale (remhos_fct.cpp:484-539). Padded lanes have
     # ml == 0 -> f == 0 there, so the row sums are exact; the final
     # division puts NaN only in lanes the block store discards.
-    if with_exp:
+    hx = jax.lax.Precision.HIGHEST
+    if stencil_T:
+        # class-MAJOR stencil blocks [3^dim, be] (overlap_stencil_T's
+        # lane-efficient layout, E on lanes): the same exact one-hot EXP
+        # expansion with the contraction on dim 0 — the MXU takes the
+        # transposed feed natively, so no VPU transpose and no [E, 3^dim]
+        # lane-padded intermediate anywhere
+        dn = (((0,), (0,)), ((), ()))
+        x_min = jax.lax.dot_general(xmin_ref[:], EXP_ref[:], dn,
+                                    preferred_element_type=u.dtype,
+                                    precision=hx)
+        x_max = jax.lax.dot_general(xmax_ref[:], EXP_ref[:], dn,
+                                    preferred_element_type=u.dtype,
+                                    precision=hx)
+    elif with_exp:
         # element-class bounds stencil [TE, 3^dim] -> per-dof [TE, nd]
         # via the exact one-hot expansion (stage_ho_tables EXP)
-        hx = jax.lax.Precision.HIGHEST
         x_min = jnp.dot(xmin_ref[:], EXP_ref[:],
                         preferred_element_type=u.dtype, precision=hx)
         x_max = jnp.dot(xmax_ref[:], EXP_ref[:],
@@ -878,16 +891,25 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
                           interpret=None, bounds_stencil=False):
     """du_limited[E, nd]: the complete -ho 3 -lo 5 -fct 2 stage (HO solve,
     MassBasedAvg LO, lumped mass, ClipScale) in ONE kernel. Only the
-    limited du reaches HBM; the per-dof bounds (functions of u alone) are
-    computed by the caller and enter as operands — per-dof [E, nd], or
-    with bounds_stencil=True the element-class stencil [E, 3^dim]
-    expanded in-kernel (overlap_bounds_structured with 3 classes/axis;
-    2.4x less bounds traffic at p=3)."""
+    limited du reaches HBM; the per-dof bounds (functions of u alone)
+    enter as operands — per-dof [E, nd]; with bounds_stencil=True the
+    element-class stencil [E, 3^dim] expanded in-kernel by the exact
+    one-hot EXP dot; or with bounds_stencil="T" the TRANSPOSED
+    class-major stencil [3^dim, E] (overlap_stencil_T — E on lanes, so
+    the XLA stencil pass carries no lane-padded [E, c] intermediates)
+    blocked as [3^dim, be] and expanded by the dim-0-contracting dot.
+    (A fully in-kernel stencil from padded per-element min/max rows was
+    built and REJECTED by Mosaic: dynamic lane-dim slices must be
+    128-aligned, and neighbor offsets are +-1/N/N^2 — docs/PERF.md.)"""
     E, nd = u.shape
     dtype = u.dtype
     S = tables["seg"]
+    s_T = bounds_stencil == "T"
     with_exp = bool(bounds_stencil)
-    assert not with_exp or x_min.shape[1] == 3 ** dim
+    if s_T:
+        assert x_min.shape == (3 ** dim, E)
+    else:
+        assert not with_exp or x_min.shape[1] == 3 ** dim
     if n_cg is None:
         # Jacobi contraction ~2.5e-3/sweep: the x0 = D^-1 b start is
         # already within ~2.5e-3, so ONE sweep reaches ~6e-6 relative —
@@ -905,13 +927,17 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
     kern = functools.partial(_stage_mega_kernel, dim=dim, mode=float(mode),
                              n_cg=n_cg, seg=S, nkv=dim, nkd=dim + 1,
                              nkn=dim, with_t3=with_t3, with_exp=with_exp,
-                             with_p16=with_p16)
+                             with_p16=with_p16, stencil_T=s_T)
     tb = tables
 
     def blk(a):
         return pl.BlockSpec((be, a.shape[1]), lambda i: (i, i * 0),
                             memory_space=pltpu.VMEM)
 
+    # transposed stencil: block the LANE (element) axis — i*be starts
+    # are 128-aligned, which Mosaic requires on the minor dim
+    bspec = (pl.BlockSpec((3 ** dim, be), lambda i: (i * 0, i),
+                          memory_space=pltpu.VMEM) if s_T else None)
     t3_keys = (("UT3", "Buw3", "BD3", "SB3", "BglT3", "Bgl3")
                if with_t3 else ())
     p16_ops = [poly["P16"]] if with_p16 else []
@@ -923,7 +949,7 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
             pl.BlockSpec((1, 2), lambda i: (i * 0, i * 0),
                          memory_space=pltpu.SMEM),
             blk(u), blk(u_nbr_flat), blk(poly["P"]),
-            blk(x_min), blk(x_max),
+            bspec or blk(x_min), bspec or blk(x_max),
             _rep(tb["UT"].shape), _rep(tb["Buw"].shape),
             _rep(tb["BD"].shape), _rep(tb["SB"].shape),
             _rep(tb["A"].shape), _rep(tb["AT"].shape),

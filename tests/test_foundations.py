@@ -242,6 +242,56 @@ def test_fused_stage_ho_interpret():
         < 1e-9 * scale
 
 
+def test_mega_stage_inline_stencil_bit_identical():
+    """The class-major transposed stencil path (bounds_stencil="T":
+    overlap_stencil_T rows + the dim-0-contracting EXP dot) must
+    reproduce the [E, 3^dim]-stencil mega stage BIT-identically: the
+    same neighbor min/max sets, and the EXP expansion contracts one
+    exact one-hot product per output either way."""
+    import os
+    from remhos_tpu.operator import Advection, SolverConfig
+
+    for dims, shape in ((3, (4, 3, 2)), (2, (6, 4))):
+        m = make_cartesian_mesh(dims, shape, (0,) * dims, (1,) * dims,
+                                (False,) * dims)
+        disc = build_discretization(m, p=3)
+        x0 = jnp.asarray(m.x)
+        v = 0.1 * jnp.sin(x0)
+        pcfg = SolverConfig(problem=10, ho=3, lo=5, fct=2, pa=True,
+                            use_pallas=True)
+        advp = Advection(disc, pcfg, x0, v, None)
+        rng = np.random.default_rng(7)
+        S = jnp.stack([jnp.asarray(rng.random((m.num_elements, disc.nd)))])
+        prev = os.environ.get("REMHOS_STENCIL")
+        try:
+            os.environ["REMHOS_STENCIL"] = "T"
+            dS_inline, _ = advp.stage_function()(0.3, 0.01, S)
+            os.environ["REMHOS_STENCIL"] = "cols"
+            dS_cols, _ = advp.stage_function()(0.3, 0.01, S)
+            os.environ["REMHOS_STENCIL"] = "flat"
+            dS_flat, _ = advp.stage_function()(0.3, 0.01, S)
+        finally:
+            if prev is None:
+                os.environ.pop("REMHOS_STENCIL", None)
+            else:
+                os.environ["REMHOS_STENCIL"] = prev
+        assert np.array_equal(np.asarray(dS_inline), np.asarray(dS_cols))
+        assert np.array_equal(np.asarray(dS_inline), np.asarray(dS_flat))
+
+    # periodic mesh: T handles wrap rolls natively; stage runs and is
+    # finite
+    mp = make_cartesian_mesh(2, (4, 4), (0, 0), (1, 1), (True, True))
+    discp = build_discretization(mp, p=2)
+    x0p = jnp.asarray(mp.x)
+    advpp = Advection(discp, SolverConfig(problem=10, ho=3, lo=5, fct=2,
+                                          pa=True, use_pallas=True),
+                      x0p, 0.05 * jnp.cos(x0p), None)
+    Sp = jnp.stack([jnp.asarray(
+        np.random.default_rng(8).random((mp.num_elements, discp.nd)))])
+    dSp, _ = advpp.stage_function()(0.2, 0.01, Sp)
+    assert np.isfinite(np.asarray(dSp)).all()
+
+
 def test_poly_bf16_split_stream():
     """P-stream precision experiment (build_poly_tables va_vn_bf16): the
     split bf16 va/vn operand reproduces the f32 path to bf16 scale on du
