@@ -182,9 +182,23 @@ def gather_nbr_structured(u, shape, periodic, nbr_dof_local,
     if nbr_np is not None:
         fd = nbr_np.shape[1]
         G = jnp.asarray(_face_gather_matrix(nbr_np, nd), u.dtype)
-        # HIGHEST: exact for a one-hot matrix (single product per output);
-        # DEFAULT would round the values through bf16
-        uf = jnp.dot(u, G, precision=jax.lax.Precision.HIGHEST)
+        # f64 (golden tiers): HIGHEST — exact for a one-hot matrix
+        # (single product per output; DEFAULT would round through bf16).
+        # f32 production: HIGH (3-pass bf16x3) — u_hi+u_lo covers ~17 of
+        # f32's 24 mantissa bits, so the gathered face trace rounds at
+        # ~1e-5, the SAME scale as the kernel's bf16x3 RHS dots that
+        # consume it, for half the MXU passes. Measured on the chip:
+        # FOM 1948 -> 1974 with the conservation closure injection
+        # (1.74e-6, in budget) and the f32-vs-f64 cross check (2.73e-6)
+        # UNCHANGED — the rounding is invisible below the existing
+        # bf16x3 noise floor (docs/PERF.md round-5 notes).
+        # REMHOS_GATHER_PREC=exact restores HIGHEST in f32.
+        import os
+        prec = jax.lax.Precision.HIGHEST
+        if u.dtype == jnp.float32 and \
+                os.environ.get("REMHOS_GATHER_PREC", "high") != "exact":
+            prec = jax.lax.Precision.HIGH
+        uf = jnp.dot(u, G, precision=prec)
         return jnp.stack(
             _flat_face_rolls(uf, shape, periodic, fd,
                              bdr_value=bdr_value, halo=halo), axis=1)
