@@ -910,6 +910,9 @@ def fused_stage_mega_poly(t, dt, u, u_nbr_flat, x_min, x_max, poly, tables,
         assert x_min.shape == (3 ** dim, E)
     else:
         assert not with_exp or x_min.shape[1] == 3 ** dim
+    import os
+    if block_e is None and os.environ.get("REMHOS_BLOCK_E"):
+        block_e = int(os.environ["REMHOS_BLOCK_E"])   # tuning knob
     if n_cg is None:
         # Jacobi contraction ~2.5e-3/sweep: the x0 = D^-1 b start is
         # already within ~2.5e-3, so ONE sweep reaches ~6e-6 relative —
